@@ -1,0 +1,62 @@
+"""Finite-volume tracer advection.
+
+TPU-native replacement for Oceananigans' tracer advection with
+`WENO(order)` (reference: `latitude_longitude.jl:18` tracer_advection =
+WENO(order=7); `omip_simulation.jl:600`).
+
+Flux-form divergence on the C-grid:
+
+    G_c = -(1/V) [ δx_c(q_x) + δy_c(q_y) + δz_c(q_z) ]
+
+    q_x[i] = Δy_fc Δz u c̃ˣ     (x-face transport)
+    q_y[j] = Δx_cf Δz v c̃ʸ
+    q_z[k] = Az_cc  w c̃ᶻ
+
+with c̃ the WENO-upwind (or centered) face reconstruction. Fluxes are masked
+by the face wet masks, which enforces no-flux through bathymetry and domain
+walls without branches.
+
+Vertical reconstruction degrades to centered 2nd order within a half-stencil
+of the top/bottom via the same dry-substencil penalty (wet_c is passed as the
+mask; cells outside the column are dry).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.stencil import X, Y, Z, dxc, dyc, shift_n
+from .weno import weno_upwind, centered_face
+
+
+def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
+                           dzc3=None, dzw3=None):
+    """Advective tendency of tracer ``c`` (located at centers).
+
+    u, v: (Nz, Nyp, Nxp); w: (Nz+1, Nyp, Nxp). Returns (Nz, Nyp, Nxp).
+    ``dzc3``/``dzw3`` optionally override cell thicknesses (z★ moving grid);
+    default is the static 1-D spacing broadcast.
+    """
+    wet_c = grid.wet_c
+    dz = grid.dz_c[:, None, None] if dzc3 is None else dzc3
+
+    # --- horizontal fluxes ---------------------------------------------------
+    cx = weno_upwind(c, u, X, order, wet_c)
+    cy = weno_upwind(c, v, Y, order, wet_c)
+    qx = grid.dy_fc * dz * u * grid.wet_u * cx
+    qy = grid.dx_cf * dz * v * grid.wet_v * cy
+
+    # --- vertical flux -------------------------------------------------------
+    # w faces: (Nz+1). Reconstruct c at interior faces 1..Nz-1; the top face
+    # (free surface) uses the top cell value, the bottom flux is masked off.
+    if vertical_order > 1:
+        cz_body = weno_upwind(c, w[:-1], Z, min(vertical_order, order), wet_c,
+                              boundary="clamp")
+    else:
+        cz_body = centered_face(c, Z)
+    cz = jnp.concatenate([cz_body, c[-1:]], axis=0)        # (Nz+1, ...)
+    qz = grid.az_cc * w * grid.wet_w * cz
+
+    div = dxc(qx) + dyc(qy) + (qz[1:] - qz[:-1])
+    vol = grid.az_cc * dz
+    return -(div / vol) * wet_c

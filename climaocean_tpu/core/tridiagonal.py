@@ -1,0 +1,90 @@
+"""Batched tridiagonal (Thomas) solver over vertical columns.
+
+TPU-native replacement for Oceananigans' implicit-vertical-diffusion solver
+and the in-kernel Thomas solve of the vendored NEMO-TKE closure (reference:
+`nemo_tke_compute_closure_fields.jl:101-168`, SURVEY.md §2c).
+
+The solve runs as a `lax.scan` over the (small) z axis with full
+``(Ny, Nx)`` planes processed per step — each scan step is a handful of
+VPU elementwise ops over the plane, so the whole solve is bandwidth-bound
+and embarrassingly parallel across columns, matching the reference's
+per-column parallelism (SURVEY.md §2d item 5).
+
+System convention (z-leading layout, k = 0 bottom):
+
+    a[k] x[k-1] + b[k] x[k] + c[k] x[k+1] = d[k]
+
+with ``a[0]`` and ``c[Nz-1]`` ignored. Degenerate rows (dry cells) should be
+passed as (a=0, b=1, c=0, d=value).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def solve_tridiagonal(a, b, c, d):
+    """Solve a batch of tridiagonal systems along axis 0.
+
+    All arguments are broadcast-compatible arrays of shape (Nz, ...).
+    Returns x with the same shape as d.
+    """
+    a, b, c, d = jnp.broadcast_arrays(a, b, c, d)
+    eps = jnp.asarray(1e-30, dtype=b.dtype)
+
+    # Forward sweep: c'[k] = c/(b - a c'[k-1]),  d'[k] = (d - a d'[k-1]) / (...)
+    def fwd(carry, abcd):
+        cp_km1, dp_km1 = carry
+        ak, bk, ck, dk = abcd
+        denom = bk - ak * cp_km1
+        denom = jnp.where(jnp.abs(denom) < eps, eps, denom)
+        cp = ck / denom
+        dp = (dk - ak * dp_km1) / denom
+        return (cp, dp), (cp, dp)
+
+    zeros = jnp.zeros_like(b[0])
+    (_, _), (cp, dp) = jax.lax.scan(fwd, (zeros, zeros), (a, b, c, d))
+
+    # Back substitution: x[k] = d'[k] - c'[k] x[k+1]
+    def bwd(x_kp1, cpdp):
+        cpk, dpk = cpdp
+        x = dpk - cpk * x_kp1
+        return x, x
+
+    _, x_rev = jax.lax.scan(bwd, zeros, (cp, dp), reverse=True)
+    return x_rev
+
+
+def implicit_vertical_diffusion_matrix(kappa_w, dz_c, dz_f, dt, wet_c, wet_w):
+    """Build Thomas coefficients for (I − Δt ∂z κ ∂z) x = rhs per column.
+
+    Finite-volume discretization on the staggered column:
+
+        (x[k] − rhs[k]) / Δt = [F[k+1] − F[k]] / Δz_c[k],
+        F[k] = κ_w[k] (x[k] − x[k-1]) / Δz_f[k]   (flux at face k)
+
+    Parameters
+    ----------
+    kappa_w : (Nz+1, Ny, Nx) diffusivity at w-faces (face 0 and Nz unused —
+        no-flux boundaries are enforced via ``wet_w``).
+    dz_c : (Nz,) cell thickness;  dz_f : (Nz+1,) face spacing.
+    wet_c, wet_w : wet masks; dry rows become identity.
+    """
+    dzc = dz_c[:, None, None]
+    dzf = dz_f[:, None, None]
+    kw = kappa_w * wet_w                       # zero flux through dry faces
+    lam_lo = dt * kw[:-1] / (dzc * dzf[:-1])   # couples x[k-1]
+    lam_hi = dt * kw[1:] / (dzc * dzf[1:])     # couples x[k+1]
+    # Surface face (k = Nz) carries no diffusive flux of the implicit solve
+    # (surface fluxes enter the explicit RHS), so zero the top coupling:
+    lam_hi = lam_hi.at[-1].set(0.0)
+
+    a = -lam_lo
+    c = -lam_hi
+    b = 1.0 + lam_lo + lam_hi
+    # Dry cells: identity rows
+    a = a * wet_c
+    c = c * wet_c
+    b = jnp.where(wet_c > 0, b, 1.0)
+    return a, b, c

@@ -1,0 +1,107 @@
+"""Split-explicit barotropic free surface.
+
+TPU-native replacement for Oceananigans' `SplitExplicitFreeSurface(grid;
+substeps)` (reference: `one_degree_tripolar.jl:61` substeps=70,
+`half_degree_tripolar.jl` 150, `sixth_degree_tripolar.jl` 300; SURVEY.md
+§2d item 4 — the fast 2-D mode is decoupled and substepped).
+
+The 2-D system for free surface η and barotropic transports (U, V):
+
+    ∂U/∂t = −g H_u ∂x η + Gᵁ        ∂η/∂t = −∇·(U, V)
+    ∂V/∂t = −g H_v ∂y η + Gⱽ
+
+is integrated forward–backward (η first, then transports against the new η)
+over an extended window of length 2·Δt_stage with flat averaging weights —
+the averaged (η̄, Ū, V̄) filter the barotropic noise exactly like the
+reference's averaging kernel. The whole substep loop is a single
+`lax.scan`, so XLA compiles one fused 2-D kernel body — per-substep work is
+a handful of 2-D VPU ops with *no host round-trips* (and under `shard_map`,
+one halo exchange per substep rides ICI; SURVEY.md §7 hard part (a)).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.stencil import dxc, dxf, dyc, dyf
+from ..physics.eos import G_EARTH
+
+
+class BarotropicState(NamedTuple):
+    eta: jnp.ndarray   # (Nyp, Nxp)
+    U: jnp.ndarray     # x transport at u-points (m²/s)
+    V: jnp.ndarray
+
+
+def column_depths(grid):
+    """Static water depths at c, u, v points (2-D)."""
+    dz = grid.dz_c[:, None, None]
+    H_c = jnp.sum(grid.wet_c * dz, axis=0)
+    H_u = jnp.sum(grid.wet_u * dz, axis=0)
+    H_v = jnp.sum(grid.wet_v * dz, axis=0)
+    return H_c, H_u, H_v
+
+
+def barotropic_divergence(U, V, grid):
+    return (dxc(grid.dy_fc * U) + dyc(grid.dx_cf * V)) / grid.az_cc
+
+
+def substep_barotropic(bt: BarotropicState, grid, GU, GV, dt_stage,
+                       substeps, fill_halos_2d, g=G_EARTH):
+    """Integrate the barotropic system over an extended window 2·dt_stage
+    with ``substeps`` forward-backward steps; return the window-averaged
+    state (and the final instantaneous state for the next stage).
+    """
+    H_c, H_u, H_v = column_depths(grid)
+    wet2_u = (H_u > 0).astype(bt.U.dtype)
+    wet2_v = (H_v > 0).astype(bt.V.dtype)
+    wet2_c = (H_c > 0).astype(bt.eta.dtype)
+
+    M = substeps
+    dtau = 2.0 * dt_stage / M
+    w = 1.0 / M
+
+    def body(carry, _):
+        eta, U, V, eta_a, U_a, V_a = carry
+        eta = eta - dtau * barotropic_divergence(U, V, grid)
+        # halo-fill BEFORE masking: masks are defined on the padded arrays
+        # (dry in bounded-direction halos), so masking last keeps wall
+        # transports exactly zero — replicated halo values must never
+        # survive on dry faces or they inject spurious divergence.
+        eta = fill_halos_2d(eta) * wet2_c
+        U = U + dtau * (-g * H_u * dxf(eta) / grid.dx_fc + GU)
+        V = V + dtau * (-g * H_v * dyf(eta) / grid.dy_cf + GV)
+        U = fill_halos_2d(U) * wet2_u
+        V = fill_halos_2d(V) * wet2_v
+        return (eta, U, V, eta_a + w * eta, U_a + w * U, V_a + w * V), None
+
+    z = jnp.zeros_like(bt.eta)
+    init = (bt.eta, bt.U, bt.V, z, jnp.zeros_like(bt.U), jnp.zeros_like(bt.V))
+    (eta, U, V, eta_a, U_a, V_a), _ = jax.lax.scan(body, init, None, length=M)
+
+    averaged = BarotropicState(eta_a, U_a, V_a)
+    final = BarotropicState(eta, U, V)
+    return averaged, final
+
+
+def barotropic_transport(u, v, grid):
+    """Depth-integrated transports of the 3-D velocity."""
+    dz = grid.dz_c[:, None, None]
+    U = jnp.sum(u * grid.wet_u * dz, axis=0)
+    V = jnp.sum(v * grid.wet_v * dz, axis=0)
+    return U, V
+
+
+def barotropic_correct(u, v, U_bar, V_bar, grid):
+    """Replace the depth-mean of (u, v) with the averaged barotropic
+    solution (the split-explicit reconciliation step)."""
+    H_c, H_u, H_v = column_depths(grid)
+    U_p, V_p = barotropic_transport(u, v, grid)
+    du = (U_bar - U_p) / jnp.maximum(H_u, 1e-8)
+    dv = (V_bar - V_p) / jnp.maximum(H_v, 1e-8)
+    u = (u + du[None, :, :]) * grid.wet_u
+    v = (v + dv[None, :, :]) * grid.wet_v
+    return u, v

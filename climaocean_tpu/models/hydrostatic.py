@@ -1,0 +1,285 @@
+"""Hydrostatic free-surface model (the dynamical core).
+
+TPU-native rebuild of Oceananigans' `HydrostaticFreeSurfaceModel` +
+`ocean_simulation` inner loop (reference behavior contract: SURVEY.md §2b
+and the hot-loop reconstruction §3.2): vector-invariant / WENO momentum
+advection, WENO tracer advection, TEOS-10 buoyancy, enstrophy-conserving
+spherical Coriolis, split-explicit barotropic substepping, implicit
+vertical diffusion, and the `:SplitRungeKutta3` stepper
+(`omip_simulation.jl:604`).
+
+Everything is one pure function of a state pytree — `step(model, state,
+fluxes, dt) -> state` — designed to be `jit`-compiled once and (later)
+`shard_map`ped over a 2-D device mesh. No data-dependent Python control
+flow; substep loops are `lax.scan`.
+
+Sign/flux conventions
+---------------------
+Surface fluxes are *into the ocean* (positive heats/freshens/accelerates):
+``tau_x, tau_y`` kinematic momentum fluxes [m²/s²], ``Q_T`` [K·m/s],
+``Q_S`` [g/kg·m/s], ``Q_sw`` penetrating shortwave [K·m/s].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..advection.tracer import tracer_flux_divergence
+from ..advection.vector_invariant import coriolis_ff, momentum_tendencies
+from ..closures.base import ClosureAux, sum_diffusivities, sum_horizontal_tendencies
+from ..core.halo import fill_halos
+from ..core.stencil import Z, dxc, dxf, dyc, dyf, mxc, myc, shift_clamp
+from ..core.tridiagonal import implicit_vertical_diffusion_matrix, solve_tridiagonal
+from ..physics import eos as eos_mod
+from ..physics.eos import G_EARTH
+from . import free_surface as fs
+
+
+class SurfaceFluxes(NamedTuple):
+    tau_x: jnp.ndarray   # (Nyp, Nxp) kinematic stress into ocean [m²/s²]
+    tau_y: jnp.ndarray
+    Q_T: jnp.ndarray     # non-penetrating heat flux into ocean [K·m/s]
+    Q_S: jnp.ndarray     # salinity flux [g/kg·m/s]
+    Q_sw: jnp.ndarray    # penetrating shortwave [K·m/s]
+
+    @staticmethod
+    def zeros(grid):
+        z = grid.new_surface_field()
+        return SurfaceFluxes(z, z, z, z, z)
+
+
+# Two-band Jerlov-I shortwave penetration (reference: two-band SW with
+# `first_color_fraction` + absorption coefficients, `kpp_surface_forcing.jl:37-51`)
+SW_FRAC1 = 0.58
+SW_SCALE1 = 0.35     # m
+SW_SCALE2 = 23.0     # m
+
+
+@dataclass(frozen=True)
+class HydrostaticModel:
+    """Static configuration (not a pytree — closed over by the jitted step)."""
+    grid: object
+    closures: tuple = ()
+    momentum_scheme: str = "vector_invariant"     # or "weno_vector_invariant"
+    momentum_order: int = 5
+    tracer_order: int = 5
+    eos: object = None                            # None -> TEOS10
+    substeps: int = 70
+    g: float = G_EARTH
+    rotation_rate: float = 7.292115e-5
+    rk3_gammas: tuple = (1.0 / 3.0, 1.0 / 2.0, 1.0)
+
+    def initial_state(self, T=None, S=None):
+        grid = self.grid
+        state = {
+            "u": grid.new_field(), "v": grid.new_field(),
+            "T": grid.new_field() if T is None else T,
+            "S": grid.new_field() + 35.0 if S is None else S,
+            "eta": grid.new_surface_field(),
+        }
+        for cl in self.closures:
+            init = getattr(cl, "initial_prognostics", None)
+            if init is not None:
+                state.update(init(grid))
+        return state
+
+    def buoyancy(self, state):
+        grid = self.grid
+        z = grid.z_c[:, None, None]
+        if self.eos is None:
+            return eos_mod.buoyancy(state["S"], state["T"], z)
+        return self.eos.buoyancy(state["S"], state["T"], z)
+
+
+def diagnose_w(u, v, grid):
+    """Vertical velocity from continuity, integrated up from the bottom.
+    Returns (Nz+1, Nyp, Nxp)."""
+    dz = grid.dz_c[:, None, None]
+    div_h = (dxc(grid.dy_fc * dz * u * grid.wet_u)
+             + dyc(grid.dx_cf * dz * v * grid.wet_v)) / grid.az_cc
+    w_inc = -div_h                                 # ∂z w · dz
+    w = jnp.concatenate([jnp.zeros_like(w_inc[:1]),
+                         jnp.cumsum(w_inc, axis=0)], axis=0)
+    return w * grid.wet_w
+
+
+def closure_aux(model, state, fluxes):
+    """Shared diagnostics for the closures (buoyancy, N², S², u★, Qb).
+
+    N² is *locally referenced*: both cells adjacent to an interface are
+    evaluated at the interface depth, so the thermobaric z-dependence of the
+    TEOS-10 anomaly polynomial cancels — differencing in-situ buoyancy at
+    each cell's own z would diagnose spurious deep convection."""
+    grid = model.grid
+    b = model.buoyancy(state)
+    dz_f = grid.dz_f[:, None, None]
+
+    bfun = eos_mod.buoyancy if model.eos is None else model.eos.buoyancy
+    zf3 = grid.z_f[:-1, None, None]                 # face k below cell k
+    b_up = bfun(state["S"], state["T"], zf3)        # cell k at face k
+    b_dn = bfun(shift_clamp(state["S"], Z, -1),     # cell k-1 at face k
+                shift_clamp(state["T"], Z, -1), zf3)
+    db = b_up - b_dn                                # at faces 0..Nz-1
+    N2 = jnp.concatenate([db / dz_f[:-1], jnp.zeros_like(db[:1])], axis=0)
+
+    u_c = mxc(state["u"])
+    v_c = myc(state["v"])
+    du = (u_c - shift_clamp(u_c, Z, -1)) / dz_f[:-1]
+    dv = (v_c - shift_clamp(v_c, Z, -1)) / dz_f[:-1]
+    S2 = jnp.concatenate([du ** 2 + dv ** 2, jnp.zeros_like(du[:1])], axis=0)
+
+    u_star = (fluxes.tau_x ** 2 + fluxes.tau_y ** 2) ** 0.25
+
+    z0 = jnp.zeros_like(b[-1])
+    alpha = eos_mod.thermal_expansion(state["S"][-1], state["T"][-1], z0)
+    beta = eos_mod.haline_contraction(state["S"][-1], state["T"][-1], z0)
+    Qb = model.g * (alpha * (fluxes.Q_T + fluxes.Q_sw) - beta * fluxes.Q_S)
+
+    return ClosureAux(b=b, N2=N2, S2=S2, u_star=u_star, Qb=Qb), b
+
+
+def shortwave_tendency(Q_sw, grid):
+    """Two-band penetrating shortwave heating tendency [K/s]."""
+    zf = grid.z_f
+
+    def frac(z):
+        return SW_FRAC1 * jnp.exp(z / SW_SCALE1) + (1 - SW_FRAC1) * jnp.exp(z / SW_SCALE2)
+
+    absorbed = frac(zf[1:]) - frac(zf[:-1])        # fraction absorbed per cell
+    prof = (absorbed / grid.dz_c)[:, None, None]
+    return Q_sw[None, :, :] * prof
+
+
+def tendencies(model, state, fluxes):
+    """Explicit tendencies for u, v, T, S (barotropic η-gradient excluded —
+    it lives in the substepped 2-D mode)."""
+    grid = model.grid
+
+    u = fill_halos(state["u"], grid) * grid.wet_u
+    v = fill_halos(state["v"], grid) * grid.wet_v
+    T = fill_halos(state["T"], grid)
+    S = fill_halos(state["S"], grid)
+    state = dict(state, u=u, v=v, T=T, S=S)
+
+    w = diagnose_w(u, v, grid)
+    aux, b = closure_aux(model, state, fluxes)
+
+    # --- momentum: vorticity + KE + vertical advection + Coriolis ----------
+    f_ff = coriolis_ff(grid, model.rotation_rate)
+    G_u, G_v = momentum_tendencies(u, v, w, grid, f_ff,
+                                   scheme=model.momentum_scheme,
+                                   vorticity_order=model.momentum_order)
+
+    # --- baroclinic pressure gradient --------------------------------------
+    dz = grid.dz_c[:, None, None]
+    b_dz = b * dz * grid.wet_c
+    Bint = (jnp.cumsum(b_dz[::-1], axis=0)[::-1] - 0.5 * b_dz)  # ∫_z^0 b dz'
+    G_u = G_u + dxf(Bint) / grid.dx_fc * grid.wet_u
+    G_v = G_v + dyf(Bint) / grid.dy_cf * grid.wet_v
+
+    # --- tracers -----------------------------------------------------------
+    G_T = tracer_flux_divergence(T, u, v, w, grid, model.tracer_order)
+    G_S = tracer_flux_divergence(S, u, v, w, grid, model.tracer_order)
+
+    # --- surface fluxes ----------------------------------------------------
+    dz_top = grid.dz_c[-1]
+    top_u = grid.wet_u[-1]
+    top_v = grid.wet_v[-1]
+    top_c = grid.wet_c[-1]
+    G_u = G_u.at[-1].add(fluxes.tau_x / dz_top * top_u)
+    G_v = G_v.at[-1].add(fluxes.tau_y / dz_top * top_v)
+    G_T = G_T.at[-1].add(fluxes.Q_T / dz_top * top_c)
+    G_S = G_S.at[-1].add(fluxes.Q_S / dz_top * top_c)
+    G_T = G_T + shortwave_tendency(fluxes.Q_sw, grid) * grid.wet_c
+
+    # --- horizontal closures (biharmonic, Laplacian, GM...) ----------------
+    hor = sum_horizontal_tendencies(model.closures, grid, state, aux)
+    G = {"u": G_u, "v": G_v, "T": G_T, "S": G_S}
+    for k, t in hor.items():
+        G[k] = G[k] + t
+
+    return G, aux, state
+
+
+def implicit_vertical_step(model, state, aux, dt):
+    """Implicit vertical mixing of u, v, T, S (+ closure prognostics)."""
+    grid = model.grid
+    nu_w, kap_w = sum_diffusivities(model.closures, grid, state, aux)
+
+    a, b, c = implicit_vertical_diffusion_matrix(
+        kap_w, grid.dz_c, grid.dz_f, dt, grid.wet_c, grid.wet_w)
+    T = solve_tridiagonal(a, b, c, state["T"] * grid.wet_c)
+    S = solve_tridiagonal(a, b, c, state["S"] * grid.wet_c)
+
+    au, bu, cu = implicit_vertical_diffusion_matrix(
+        nu_w, grid.dz_c, grid.dz_f, dt, grid.wet_u, grid.wet_w)
+    u = solve_tridiagonal(au, bu, cu, state["u"] * grid.wet_u)
+    av, bv, cv = implicit_vertical_diffusion_matrix(
+        nu_w, grid.dz_c, grid.dz_f, dt, grid.wet_v, grid.wet_w)
+    v = solve_tridiagonal(av, bv, cv, state["v"] * grid.wet_v)
+
+    out = dict(state, u=u, v=v, T=T, S=S)
+
+    for cl in model.closures:
+        stepper = getattr(cl, "step_prognostics", None)
+        if stepper is not None:
+            out.update(stepper(grid, out, aux, dt))
+    return out
+
+
+def rk3_substage(model, state0, state_prev, fluxes, dt_stage, substeps):
+    """One SplitRungeKutta3 stage: explicit update from ``state0`` with
+    tendencies at ``state_prev``, barotropic substepping, correction,
+    implicit vertical mixing."""
+    grid = model.grid
+    G, aux, state_prev = tendencies(model, state_prev, fluxes)
+
+    # barotropic forcing: depth-integral of the slow momentum tendencies
+    dz = grid.dz_c[:, None, None]
+    GU = jnp.sum(G["u"] * grid.wet_u * dz, axis=0)
+    GV = jnp.sum(G["v"] * grid.wet_v * dz, axis=0)
+
+    U0, V0 = fs.barotropic_transport(state0["u"], state0["v"], grid)
+    bt0 = fs.BarotropicState(state0["eta"], U0, V0)
+    averaged, _ = fs.substep_barotropic(
+        bt0, grid, GU, GV, dt_stage, substeps,
+        lambda a: fill_halos(a, grid), model.g)
+
+    # explicit 3-D update (closure prognostics restart from state0 too)
+    new = dict(state0)
+    new["u"] = (state0["u"] + dt_stage * G["u"]) * grid.wet_u
+    new["v"] = (state0["v"] + dt_stage * G["v"]) * grid.wet_v
+    new["T"] = state0["T"] + dt_stage * G["T"] * grid.wet_c
+    new["S"] = state0["S"] + dt_stage * G["S"] * grid.wet_c
+
+    # reconcile barotropic mode
+    new["u"], new["v"] = fs.barotropic_correct(
+        new["u"], new["v"], averaged.U, averaged.V, grid)
+    new["eta"] = averaged.eta
+
+    # implicit vertical mixing + closure prognostics
+    new = implicit_vertical_step(model, new, aux, dt_stage)
+    return new
+
+
+def step(model, state, fluxes, dt):
+    """One full SplitRungeKutta3 step (reference `:SplitRungeKutta3`,
+    `omip_simulation.jl:604`): u¹ = uⁿ + Δt/3 G(uⁿ); u² = uⁿ + Δt/2 G(u¹);
+    uⁿ⁺¹ = uⁿ + Δt G(u²). Barotropic substeps are prorated per stage so one
+    full step costs ~`substeps`·(1/3+1/2+1) 2-D iterations, like the
+    reference."""
+    s = state
+    for gamma in model.rk3_gammas:
+        nsub = max(4, int(-(-model.substeps * gamma // 1)))
+        s = rk3_substage(model, state, s, fluxes, gamma * dt, nsub)
+    return s
+
+
+def make_step_fn(model):
+    """Return a jitted ``(state, fluxes, dt) -> state``."""
+    return jax.jit(partial(step, model))

@@ -1,0 +1,59 @@
+"""WENO reconstruction properties (convergence rates are exercised in the
+slow suite; here: exactness, symmetry, ENO behavior near jumps and dry
+cells)."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climaocean_tpu.advection.weno import weno_biased, weno_upwind
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _recon(a, order, side):
+    return weno_biased(a, -1, order, side)
+
+
+def test_constant_and_linear_exact():
+    N = 32
+    const = jnp.full((1, 1, N), 3.7)
+    for order in (3, 5, 7):
+        r = np.asarray(_recon(const, order, "left"))
+        np.testing.assert_allclose(r, 3.7, rtol=1e-6)
+    # linear (periodic sawtooth breaks at wrap; check interior only)
+    lin = jnp.asarray(np.arange(N, dtype=np.float32))[None, None, :]
+    r = np.asarray(_recon(lin, 5, "left"))[0, 0, 8:24]
+    np.testing.assert_allclose(r, np.arange(8, 24) - 0.5, atol=1e-4)
+
+
+def test_no_overshoot_at_jump():
+    N = 64
+    a = np.zeros(N, dtype=np.float32)
+    a[N // 2:] = 1.0
+    aj = jnp.asarray(a)[None, None, :]
+    for order in (5, 7):
+        for side in ("left", "right"):
+            r = np.asarray(_recon(aj, order, side))
+            assert r.min() > -0.02 and r.max() < 1.02
+
+
+def test_dry_cell_penalty_falls_back_to_wet_stencil():
+    N = 32
+    a = np.linspace(0.0, 1.0, N).astype(np.float32)
+    a[20:] = 99.0                      # garbage in "dry" region
+    wet = np.ones(N, dtype=np.float32)
+    wet[20:] = 0.0
+    aj = jnp.asarray(a)[None, None, :]
+    wj = jnp.asarray(wet)[None, None, :]
+
+    @jax.jit
+    def recon(a, w):
+        return weno_biased(a, -1, 5, "left", wet=w)
+
+    r = np.asarray(recon(aj, wj))[0, 0]
+    # reconstruction at face 19 (between wet cells 18,19) must not be
+    # polluted by the garbage at cells >= 20
+    expected = 0.5 * (a[18] + a[19])
+    assert abs(r[19] - expected) < 0.05
