@@ -1,0 +1,107 @@
+"""Benchmark: the reference's headline workload.
+
+1/4° LatitudeLongitudeGrid 1440×560×10 (70°S–70°N, z ∈ (−3000, 0))
+`OceanSeaIceModel` with no sea ice — CATKE + WENO + TEOS-10, prescribed
+atmosphere with bulk fluxes, Δt = 20 min (reference: README.md:48-80,
+BASELINE.md: ~8 simulated years/day on one H100 ⇒ ~410 ms/coupled step).
+
+Prints one JSON line:
+  {"metric": "SYPD_quarter_degree", "value": N, "unit": "sim_years/day",
+   "vs_baseline": N / 8}
+
+Runs on whatever jax.devices() provides (the tunneled TPU chip under the
+driver; CPU with BENCH_SMALL=1 for a smoke run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
+
+    from climaocean_tpu.grids.grid import latitude_longitude_grid, with_bottom_height
+    from climaocean_tpu.models.hydrostatic import HydrostaticModel
+    from climaocean_tpu.models.coupled import OceanSeaIceModel, make_coupled_step_fn
+    from climaocean_tpu.closures.catke import CATKEVerticalDiffusivity
+    from climaocean_tpu.closures.scalar_diffusivity import VerticalScalarDiffusivity
+    from climaocean_tpu.coupler.atmosphere import synthetic_prescribed_atmosphere
+    from climaocean_tpu.data.synthetic import (synthetic_bathymetry,
+                                               synthetic_salinity,
+                                               synthetic_temperature)
+
+    small = bool(os.environ.get("BENCH_SMALL"))
+    if small:
+        nx, ny, nz, substeps, nsteps = 180, 70, 10, 10, 5
+    else:
+        nx, ny, nz, substeps, nsteps = 1440, 560, 10, 30, 20
+    dt = 1200.0  # 20 min (README workload)
+
+    grid = latitude_longitude_grid((nx, ny, nz), longitude=(-180, 180),
+                                   latitude=(-70, 70), z=(-3000.0, 0.0), halo=5)
+    lon = np.asarray(grid.interior(grid.lon_cc))
+    lat = np.asarray(grid.interior(grid.lat_cc))
+    grid = with_bottom_height(grid, np.minimum(synthetic_bathymetry(lon, lat), -0.1),
+                              minimum_depth=10.0)
+
+    closures = (CATKEVerticalDiffusivity(),
+                VerticalScalarDiffusivity(nu=3e-5, kappa=1e-5))
+    ocean = HydrostaticModel(grid=grid, closures=closures, substeps=substeps,
+                             momentum_scheme="vector_invariant",
+                             momentum_order=5, tracer_order=7)
+    atmos = synthetic_prescribed_atmosphere(grid, 0.0, 2 * 86400.0)
+    model = OceanSeaIceModel(ocean=ocean, atmosphere=atmos)
+
+    state = model.initial_state()
+    zc = np.asarray(grid.z_c)
+    H = grid.H
+    Tp = np.zeros(grid.padded_shape, np.float32)
+    Sp = np.full(grid.padded_shape, 35.0, np.float32)
+    Tp[:, H:H + ny, H:H + nx] = synthetic_temperature(lon[None], lat[None],
+                                                      zc[:, None, None])
+    Sp[:, H:H + ny, H:H + nx] = synthetic_salinity(lon[None], lat[None],
+                                                   zc[:, None, None])
+    state["ocean"]["T"] = jnp.asarray(Tp)
+    state["ocean"]["S"] = jnp.asarray(Sp)
+
+    step = make_coupled_step_fn(model, donate=True)
+
+    # warmup / compile
+    t = 6 * 3600.0
+    state = step(state, t, dt)
+    jax.block_until_ready(state)
+    state = step(state, t + dt, dt)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for i in range(nsteps):
+        state = step(state, t + (2 + i) * dt, dt)
+    jax.block_until_ready(state)
+    elapsed = (time.perf_counter() - t0) / nsteps
+
+    assert not bool(jnp.isnan(state["ocean"]["T"]).any()), "bench produced NaNs"
+
+    steps_per_year = 365.0 * 86400.0 / dt
+    sypd = 86400.0 / (steps_per_year * elapsed)
+    print(json.dumps({
+        "metric": "SYPD_quarter_degree" if not small else "SYPD_quarter_degree_small",
+        "value": round(sypd, 3),
+        "unit": "sim_years/day",
+        "vs_baseline": round(sypd / 8.0, 3),
+        "ms_per_step": round(elapsed * 1e3, 2),
+        "grid": [nx, ny, nz],
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""OceanSeaIceModel — the coupled model.
+
+TPU-native rebuild of NumericalEarth's `OceanSeaIceModel` +
+`ComponentInterfaces` (reference: `omip_simulation.jl:123-164`; hot-loop
+ordering from SURVEY.md §3.2: interpolate atmosphere → compute interface
+fluxes → step sea ice → step ocean). The whole coupled step — including the
+MOST flux iteration — is one jit-compiled function; computed net fluxes are
+carried in the state for diagnostics, mirroring the reference's
+`interfaces.net_fluxes.ocean.{u,v,T,S}` fields read by
+`omip_diagnostics.jl:77-82`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..coupler import radiation as rad
+from ..coupler.similarity_theory import SimilarityTheoryFluxes
+from ..coupler.thermodynamics import CELSIUS, LV, saturation_specific_humidity
+from . import hydrostatic as hyd
+from .hydrostatic import SurfaceFluxes
+
+RHO_OCEAN = 1020.0          # kg/m³ Boussinesq reference
+CP_OCEAN = 3991.0           # J/kg/K (TEOS-10 cp0)
+RHO_FRESH = 1000.0
+
+
+@dataclass(frozen=True)
+class OceanSeaIceModel:
+    """Static coupled-model configuration.
+
+    ``sea_ice`` is either None (reference's ocean-only `OceanSeaIceModel`
+    with no sea ice — the README benchmark workload) or a SeaIceModel.
+    """
+    ocean: object                               # HydrostaticModel
+    atmosphere: object                          # PrescribedAtmosphere
+    sea_ice: object = None
+    atmosphere_ocean_fluxes: object = SimilarityTheoryFluxes()
+    atmosphere_sea_ice_fluxes: object = None
+    ocean_albedo: float = rad.OCEAN_ALBEDO
+    ocean_emissivity: float = rad.OCEAN_EMISSIVITY
+    ocean_minimum_salinity: float = 1.0         # omip_simulation.jl:132
+
+    def initial_state(self, **kw):
+        state = {"ocean": self.ocean.initial_state(**kw)}
+        if self.sea_ice is not None:
+            state["sea_ice"] = self.sea_ice.initial_state()
+        return state
+
+
+def atmosphere_ocean_fluxes(model, atmos, ocean_state):
+    """Bulk fluxes + radiation → kinematic ocean surface fluxes."""
+    grid = model.ocean.grid
+    SST_K = ocean_state["T"][-1] + CELSIUS
+    SSS = ocean_state["S"][-1]
+    q_surf = 0.98 * saturation_specific_humidity(SST_K, atmos.p, over_ocean=False)
+    u_surf = ocean_state["u"][-1]
+    v_surf = ocean_state["v"][-1]
+
+    turb = model.atmosphere_ocean_fluxes(atmos, SST_K, q_surf, u_surf, v_surf)
+
+    Q_lw = rad.net_longwave(atmos.Qlw_down, SST_K, model.ocean_emissivity)
+    Q_sw = rad.net_shortwave(atmos.Qsw_down, model.ocean_albedo)
+    Q_nonpen = turb.Q_sensible + turb.Q_latent + Q_lw      # W/m² into ocean
+
+    # freshwater: E - P (runoff rides `rain` in the synthetic proxy)
+    fw = (turb.evaporation - atmos.rain - atmos.snow) / RHO_FRESH  # m/s out of ocean
+    Q_S = SSS * fw                                          # g/kg·m/s into ocean
+
+    fluxes = SurfaceFluxes(
+        tau_x=turb.tau_x / RHO_OCEAN,
+        tau_y=turb.tau_y / RHO_OCEAN,
+        Q_T=Q_nonpen / (RHO_OCEAN * CP_OCEAN),
+        Q_S=Q_S,
+        Q_sw=Q_sw / (RHO_OCEAN * CP_OCEAN),
+    )
+    diags = {"sensible_heat": turb.Q_sensible, "latent_heat": turb.Q_latent,
+             "longwave": Q_lw, "shortwave": Q_sw, "evaporation": turb.evaporation,
+             "u_star": turb.u_star}
+    return fluxes, diags
+
+
+def coupled_step(model, state, t, dt):
+    """One coupled time step (SURVEY.md §3.2 ordering)."""
+    atmos = model.atmosphere.at_time(t)
+    ocean_state = state["ocean"]
+    fluxes, diags = atmosphere_ocean_fluxes(model, atmos, ocean_state)
+
+    new_state = dict(state)
+    if model.sea_ice is not None:
+        from . import sea_ice as si
+        ice_state, ice_ocean = si.step(model.sea_ice, state["sea_ice"],
+                                       ocean_state, atmos, model, dt)
+        new_state["sea_ice"] = ice_state
+        # blend open-water and under-ice ocean fluxes by ice concentration
+        a = ice_state["concentration"]
+        fluxes = SurfaceFluxes(
+            tau_x=(1 - a) * fluxes.tau_x + a * ice_ocean.tau_x,
+            tau_y=(1 - a) * fluxes.tau_y + a * ice_ocean.tau_y,
+            Q_T=(1 - a) * fluxes.Q_T + a * ice_ocean.Q_T,
+            Q_S=(1 - a) * fluxes.Q_S + a * ice_ocean.Q_S,
+            Q_sw=(1 - a) * fluxes.Q_sw,
+        )
+
+    ocean_new = hyd.step(model.ocean, ocean_state, fluxes, dt)
+    # minimum-salinity clamp (omip_simulation.jl ocean_minimum_salinity = 1)
+    ocean_new["S"] = jnp.maximum(ocean_new["S"], model.ocean_minimum_salinity
+                                 * model.ocean.grid.wet_c)
+    new_state["ocean"] = ocean_new
+    new_state["net_fluxes"] = {"tau_x": fluxes.tau_x, "tau_y": fluxes.tau_y,
+                               "Q_T": fluxes.Q_T, "Q_S": fluxes.Q_S,
+                               "Q_sw": fluxes.Q_sw, **diags}
+    return new_state
+
+
+def make_coupled_step_fn(model, donate=True):
+    f = partial(coupled_step, model)
+    return jax.jit(f, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,328 @@
+"""Sea ice: slab thermodynamics + elastic-viscous-plastic (EVP) dynamics.
+
+TPU-native rebuild of the ClimaSeaIce capability surface the reference
+drives (SURVEY.md §2b "sea_ice_simulation" row; BASELINE north star: "EVP
+rheology + slab thermodynamics"; builders `omip_simulation.jl:625-638`,
+`sea_ice_dynamics(grid, ocean)`, snow option, ECCO4 h/ℵ init; coupled
+ordering SURVEY.md §3.2: ice steps before the ocean and hands the ocean its
+modified surface fluxes).
+
+Prognostics (C-grid, same layout as the ocean): ``thickness`` h [m] (mean
+over cell), ``concentration`` ℵ ∈ [0,1], ``snow`` hs [m], ``Ts`` surface
+temperature [°C], velocities ``u, v`` [m/s].
+
+Thermodynamics — zero-layer Semtner slab:
+  * surface energy balance solves Ts implicitly from the linearized balance
+    of net atmospheric flux vs conductive flux k̄(T_bot − Ts)/h;
+  * basal growth/melt from conductive flux minus the three-equation
+    ice-ocean heat flux Q_io = ρ₀ cₚ c_h u★ (T_o − T_f(S)) with
+    `MomentumBasedFrictionVelocity` (reference corrected_ice_ocean_heat_flux,
+    `omip_simulation.jl:77`);
+  * frazil growth where the ocean is supercooled (T_o < T_f(S));
+  * concentration: new-ice leads close at h₀ = 0.5 m demarcation, lateral
+    melt reduces ℵ proportionally (Hibler 1979).
+
+Dynamics — EVP (Hunke & Dukowicz 1997) with the standard elliptical yield
+curve (e = 2), ice strength P = P* h exp(−C(1−ℵ)), substepped with a
+`lax.scan` exactly like the barotropic mode: per-substep work is a handful
+of fused 2-D VPU stencils.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.stencil import dxc, dxf, dyc, dyf, mxc, mxf, mxyc, mxyf, myc, myf
+from ..coupler import radiation as rad
+from ..coupler.similarity_theory import SimilarityTheoryFluxes, FixedRoughnessLength
+from ..coupler.thermodynamics import CELSIUS, LS, saturation_specific_humidity
+from .hydrostatic import SurfaceFluxes
+
+RHO_ICE = 917.0
+RHO_SNOW = 330.0
+RHO_OCEAN = 1020.0
+CP_OCEAN = 3991.0
+L_FUSION = 3.34e5           # J/kg
+K_ICE = 2.03                # W/m/K conductivity
+K_SNOW = 0.31
+LIQUIDUS_SLOPE = 0.054      # T_f = -0.054 S  [°C]
+H_NEW_ICE = 0.5             # lead-closing demarcation thickness [m]
+C_H_ICE_OCEAN = 0.006       # three-equation transfer coefficient
+MIN_USTAR = 0.005           # SHEBA-ish floor on ice-ocean u★
+
+
+def default_ice_atmosphere_fluxes():
+    """Reference `corrected_atmosphere_sea_ice_fluxes` (:62-69): fixed
+    roughness z0 = 5e-4 m, z0t = z0q = 5e-5 m, minimum gustiness 0.2."""
+    return SimilarityTheoryFluxes(
+        momentum_roughness=FixedRoughnessLength(5e-4),
+        scalar_roughness=FixedRoughnessLength(5e-5),
+        minimum_gustiness=0.2,
+        stable_psi="ice")
+
+
+@dataclass(frozen=True)
+class SeaIceModel:
+    grid: object
+    dynamics: bool = True
+    substeps: int = 100                 # EVP substeps per coupled step
+    Pstar: float = 27.5e3               # ice strength [N/m²]
+    Cstar: float = 20.0
+    e_ellipse: float = 2.0
+    atmosphere_fluxes: object = None
+    snow: bool = True
+    min_thickness: float = 0.05
+
+    def initial_state(self):
+        grid = self.grid
+        z = grid.new_surface_field()
+        return {"thickness": z, "concentration": z, "snow": z,
+                "Ts": z - 10.0, "u": z, "v": z}
+
+    def flux_solver(self):
+        return self.atmosphere_fluxes or default_ice_atmosphere_fluxes()
+
+
+# --------------------------------------------------------------------------
+# thermodynamics
+# --------------------------------------------------------------------------
+
+def freezing_temperature(S):
+    return -LIQUIDUS_SLOPE * S
+
+
+def slab_thermodynamics(model, ice, ocean_state, atmos, dt):
+    """Advance h, ℵ, hs, Ts; return (new_ice_fields, fluxes_to_ocean)."""
+    grid = model.grid
+    h = ice["thickness"]
+    a = ice["concentration"]
+    hs = ice["snow"]
+    Ts = ice["Ts"]
+
+    SST = ocean_state["T"][-1]
+    SSS = ocean_state["S"][-1]
+    Tf = freezing_temperature(SSS)
+    wet = grid.wet_c[-1]
+    has_ice = (h > model.min_thickness * 0.1) & (a > 1e-3)
+
+    # --- atmosphere-ice turbulent fluxes at current Ts ---------------------
+    Ts_K = Ts + CELSIUS
+    q_surf = saturation_specific_humidity(Ts_K, atmos.p, over_ocean=False)
+    turb = model.flux_solver()(atmos, Ts_K, q_surf, ice["u"], ice["v"])
+    albedo = rad.ccsm3_sea_ice_albedo(h, hs, Ts_K)
+    Q_sw = (1.0 - albedo) * atmos.Qsw_down
+    Q_lw = rad.net_longwave(atmos.Qlw_down, Ts_K, emissivity=0.985)
+    # latent heat over ice = sublimation
+    Q_lat = turb.Q_latent * (LS / 2.5e6)
+    Q_atm = Q_sw + Q_lw + turb.Q_sensible + Q_lat      # W/m² into ice top
+
+    # --- implicit surface temperature from linearized balance --------------
+    # conductance of the slab (ice + snow in series), bottom at T_f
+    h_eff = jnp.maximum(h / jnp.maximum(a, 1e-3), 0.05)
+    cond = 1.0 / (h_eff / K_ICE + hs / jnp.maximum(a, 1e-3) / K_SNOW + 1e-3)
+    # d(Q_atm)/dTs ≈ -(4 εσ Ts³ + ρ cp Ch U) — use a robust constant slope
+    dQdT = -20.0
+    Q_cond = cond * (Tf - Ts)                          # W/m² into the top from below
+    Ts_new = Ts + (Q_atm + Q_cond) / (cond - dQdT)
+    Ts_new = jnp.minimum(Ts_new, 0.0)                  # capped at melting
+    Ts_new = jnp.where(has_ice, Ts_new, jnp.minimum(SST, 0.0))
+
+    # --- surface melt: residual imbalance at Ts = 0 ------------------------
+    Q_cond_new = cond * (Tf - Ts_new)
+    Q_residual = jnp.maximum(Q_atm + Q_cond_new, 0.0) * (Ts_new >= -1e-6)
+    melt_rate_top = Q_residual / (RHO_ICE * L_FUSION)  # m/s of ice
+
+    # --- basal growth/melt: conduction vs three-equation ocean flux --------
+    u_star = jnp.maximum(MIN_USTAR, jnp.sqrt(
+        jnp.sqrt((ice["u"] - ocean_state["u"][-1]) ** 2
+                 + (ice["v"] - ocean_state["v"][-1]) ** 2) * 5e-3))
+    Q_io = RHO_OCEAN * CP_OCEAN * C_H_ICE_OCEAN * u_star * (SST - Tf)  # W/m² ocean->ice
+    growth_bottom = (cond * (Tf - Ts_new) - Q_io) / (RHO_ICE * L_FUSION)
+
+    dh_dyn = jnp.where(has_ice, growth_bottom - melt_rate_top, 0.0) * dt
+
+    # --- frazil: supercooled open ocean freezes ----------------------------
+    dz_top = grid.dz_c[-1]
+    supercool = jnp.maximum(Tf - SST, 0.0)
+    frazil_h = supercool * CP_OCEAN * RHO_OCEAN * dz_top / (RHO_ICE * L_FUSION)
+    frazil_h = frazil_h * wet
+
+    h_new = jnp.clip((h + dh_dyn + frazil_h) * wet, 0.0, 20.0)
+
+    # --- concentration (Hibler 1979) ---------------------------------------
+    growth = jnp.maximum(h_new - h, 0.0)
+    melt = jnp.maximum(h - h_new, 0.0)
+    da = (1.0 - a) * growth / H_NEW_ICE - 0.5 * a * melt / jnp.maximum(h, 0.05)
+    a_new = jnp.clip((a + da) * wet, 0.0, 1.0)
+    a_new = jnp.where(h_new > 1e-4, jnp.maximum(a_new, 1e-2), 0.0)
+
+    # --- snow --------------------------------------------------------------
+    if model.snow:
+        hs_new = jnp.clip(hs + dt * atmos.snow / RHO_SNOW * (a > 0.01)
+                          - dt * melt_rate_top * 0.5, 0.0, 5.0) * wet
+        hs_new = jnp.where(h_new > 1e-4, hs_new, 0.0)
+    else:
+        hs_new = hs
+
+    # --- fluxes handed to the ocean under ice ------------------------------
+    # heat: ice-ocean flux + frazil heating; salt: brine rejection/melt water
+    Q_T_ocean = (-Q_io / (RHO_OCEAN * CP_OCEAN)) + supercool * dz_top / dt
+    dh_total = h_new - h
+    S_ice = 5.0                                        # bulk ice salinity g/kg
+    Q_S_ocean = (SSS - S_ice) * dh_total / dt * (RHO_ICE / RHO_OCEAN)
+
+    new = dict(ice, thickness=h_new, concentration=a_new, snow=hs_new,
+               Ts=Ts_new)
+    to_ocean = {"Q_T": Q_T_ocean, "Q_S": Q_S_ocean,
+                "tau_x": turb.tau_x / RHO_OCEAN, "tau_y": turb.tau_y / RHO_OCEAN}
+    return new, to_ocean
+
+
+# --------------------------------------------------------------------------
+# EVP dynamics
+# --------------------------------------------------------------------------
+
+def evp_dynamics(model, ice, ocean_state, atmos, dt):
+    """Hunke & Dukowicz (1997) EVP substepping of (u, v, σ)."""
+    grid = model.grid
+    h = ice["thickness"]
+    a = ice["concentration"]
+    m = RHO_ICE * h + RHO_SNOW * ice["snow"]           # areal mass [kg/m²]
+    m_u = mxf(m)
+    m_v = myf(m)
+    active_u = (m_u > 1.0).astype(h.dtype) * (grid.wet_u[-1])
+    active_v = (m_v > 1.0).astype(h.dtype) * (grid.wet_v[-1])
+
+    P = model.Pstar * h * jnp.exp(-model.Cstar * (1.0 - a))
+    e2 = model.e_ellipse ** 2
+
+    f_u = 2.0 * 7.292115e-5 * jnp.sin(jnp.deg2rad(grid.lat_fc))
+    f_v = 2.0 * 7.292115e-5 * jnp.sin(jnp.deg2rad(grid.lat_cf))
+
+    uo = ocean_state["u"][-1]
+    vo = ocean_state["v"][-1]
+
+    # air stress on ice (quadratic, constant Cd_ai)
+    rho_a, Cd_ai = 1.25, 1.4e-3
+    Ua = jnp.sqrt(atmos.u ** 2 + atmos.v ** 2 + 0.25)
+    tau_ax = rho_a * Cd_ai * mxf(Ua * atmos.u)
+    tau_ay = rho_a * Cd_ai * myf(Ua * atmos.v)
+
+    Cd_io = 5.5e-3
+    dte = dt / model.substeps
+    T_damp = 0.25 * dt                                  # elastic damping scale
+
+    def strain_rates(u, v):
+        # normal strain rates at centers, shear at corners
+        dudx = dxc(u) / grid.dx_cc
+        dvdy = dyc(v) / grid.dy_cc
+        div = dudx + dvdy
+        ten = dudx - dvdy                               # DT (tension)
+        shear_ff = dxf(v) / grid.dx_ff + dyf(u) / grid.dy_ff   # DS at corners
+        return div, ten, shear_ff
+
+    def body(carry, _):
+        u, v, s1, s2, s12 = carry
+        div, ten, shear = strain_rates(u, v)
+
+        # Δ and viscosities (center); shear interpolated to centers
+        shear_c = mxyc(shear)
+        Delta = jnp.sqrt(div ** 2 + (ten ** 2 + shear_c ** 2) / e2) + 1e-11
+        zeta = P / (2.0 * Delta)
+        # EVP stress relaxation toward the VP stress
+        s1_vp = zeta * div - P / 2.0                    # σ1 = σ11+σ22 (/1)
+        s2_vp = zeta * ten / e2
+        alpha = dte / T_damp
+        s1 = s1 + alpha * (s1_vp - s1)
+        s2 = s2 + alpha * (s2_vp - s2)
+        zeta_ff = mxyf(zeta)
+        s12_vp = zeta_ff * shear / (2.0 * e2)
+        s12 = s12 + alpha * (s12_vp - s12)
+
+        # divergence of stress -> force at u, v points
+        # σ11 = (σ1+σ2)/2, σ22 = (σ1-σ2)/2
+        s11 = 0.5 * (s1 + s2)
+        s22 = 0.5 * (s1 - s2)
+        fx = dxf(s11) / grid.dx_fc + dyc(s12) / grid.dy_fc
+        fy = dyf(s22) / grid.dy_cf + dxc(s12) / grid.dx_cf
+
+        # ocean stress, semi-implicit in the ice velocity:
+        # τ = ρ₀ C_io |u_i − u_o| (u_o − u_i)
+        du = u - mxf(uo)
+        dv = v - myf(vo)
+        tau_ox = RHO_OCEAN * Cd_io * jnp.sqrt(du ** 2 + 1e-4)   # drag coeff [kg/m²/s]
+        tau_oy = RHO_OCEAN * Cd_io * jnp.sqrt(dv ** 2 + 1e-4)
+
+        m_u_s = jnp.maximum(m_u, 1.0)
+        m_v_s = jnp.maximum(m_v, 1.0)
+        u_new = (u + dte / m_u_s * (fx + tau_ax + tau_ox * mxf(uo)
+                                    + m_u * f_u * mxf(myc(v)))) \
+            / (1.0 + dte * tau_ox / m_u_s)
+        v_new = (v + dte / m_v_s * (fy + tau_ay + tau_oy * myf(vo)
+                                    - m_v * f_v * myf(mxc(u)))) \
+            / (1.0 + dte * tau_oy / m_v_s)
+        u_new = u_new * active_u
+        v_new = v_new * active_v
+        return (u_new, v_new, s1, s2, s12), None
+
+    z = jnp.zeros_like(h)
+    init = (ice["u"], ice["v"], z, z, z)
+    (u, v, s1, s2, s12), _ = jax.lax.scan(body, init, None,
+                                          length=model.substeps)
+
+    # ice-ocean stress from the final state (handed to the ocean; the
+    # ocean feels the opposite sign of the drag the ice feels)
+    tau_iox = RHO_OCEAN * Cd_io * jnp.sqrt((u - mxf(uo)) ** 2 + 1e-4) * (u - mxf(uo))
+    tau_ioy = RHO_OCEAN * Cd_io * jnp.sqrt((v - myf(vo)) ** 2 + 1e-4) * (v - myf(vo))
+    return dict(ice, u=u, v=v), tau_iox, tau_ioy
+
+
+def advect_ice(model, ice, dt):
+    """Upwind (donor-cell) advection of h, ℵ, hs by the ice velocity —
+    positivity-preserving, the standard choice for ice area/volume."""
+    grid = model.grid
+    u, v = ice["u"], ice["v"]
+    wet_u = grid.wet_u[-1]
+    wet_v = grid.wet_v[-1]
+
+    def upwind(c):
+        cx = jnp.where(u >= 0, jnp.roll(c, 1, -1), c)
+        cy = jnp.where(v >= 0, jnp.roll(c, 1, -2), c)
+        qx = grid.dy_fc * u * wet_u * cx
+        qy = grid.dx_cf * v * wet_v * cy
+        return c - dt * (dxc(qx) + dyc(qy)) / grid.az_cc
+
+    out = dict(ice)
+    for k in ("thickness", "concentration", "snow"):
+        out[k] = jnp.clip(upwind(ice[k]) * grid.wet_c[-1], 0.0,
+                          20.0 if k == "thickness" else
+                          (1.0 if k == "concentration" else 5.0))
+    return out
+
+
+def step(model, ice, ocean_state, atmos, coupled, dt):
+    """Full sea-ice step: dynamics → advection → thermodynamics. Returns
+    (new_ice_state, SurfaceFluxes handed to the ocean under ice)."""
+    if model.dynamics:
+        ice, tau_iox, tau_ioy = evp_dynamics(model, ice, ocean_state, atmos, dt)
+        ice = advect_ice(model, ice, dt)
+    else:
+        tau_iox = jnp.zeros_like(ice["u"])
+        tau_ioy = jnp.zeros_like(ice["v"])
+
+    ice, to_ocean = slab_thermodynamics(model, ice, ocean_state, atmos, dt)
+
+    # the ocean feels the reaction to the drag the ice feels: ice drag is
+    # ρC|Δu|(u_o − u_i) = −tau_io, so the ocean receives +tau_io.
+    fluxes = SurfaceFluxes(
+        tau_x=tau_iox / RHO_OCEAN if model.dynamics else to_ocean["tau_x"],
+        tau_y=tau_ioy / RHO_OCEAN if model.dynamics else to_ocean["tau_y"],
+        Q_T=to_ocean["Q_T"],
+        Q_S=to_ocean["Q_S"],
+        Q_sw=jnp.zeros_like(to_ocean["Q_T"]),
+    )
+    return ice, fluxes
