@@ -41,9 +41,11 @@ def main():
 
     small = bool(os.environ.get("BENCH_SMALL"))
     if small:
-        nx, ny, nz, substeps, nsteps = 180, 70, 10, 10, 5
+        nx, ny, nz, substeps, nsteps = 180, 70, 10, 20, 5
     else:
-        nx, ny, nz, substeps, nsteps = 1440, 560, 10, 30, 20
+        # substeps = 70: the reference's SplitExplicitFreeSurface default —
+        # at 1/4 deg / 70 deg latitude the barotropic CFL needs dtau <~ 40 s.
+        nx, ny, nz, substeps, nsteps = 1440, 560, 10, 70, 20
     dt = 1200.0  # 20 min (README workload)
 
     grid = latitude_longitude_grid((nx, ny, nz), longitude=(-180, 180),

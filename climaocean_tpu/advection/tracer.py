@@ -49,14 +49,17 @@ def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
     # --- vertical flux -------------------------------------------------------
     # w faces: (Nz+1). Reconstruct c at interior faces 1..Nz-1; the top face
     # (free surface) uses the top cell value, the bottom flux is masked off.
+    # All slicing is on the Z axis so a leading tracer-batch axis broadcasts.
     if vertical_order > 1:
-        cz_body = weno_upwind(c, w[:-1], Z, min(vertical_order, order), wet_c,
+        cz_body = weno_upwind(c, w[..., :-1, :, :], Z,
+                              min(vertical_order, order), wet_c,
                               boundary="clamp")
     else:
         cz_body = centered_face(c, Z)
-    cz = jnp.concatenate([cz_body, c[-1:]], axis=0)        # (Nz+1, ...)
+    cz = jnp.concatenate([cz_body, c[..., -1:, :, :]], axis=Z)   # (Nz+1, ...)
     qz = grid.az_cc * w * grid.wet_w * cz
 
-    div = dxc(qx) + dyc(qy) + (qz[1:] - qz[:-1])
+    div = (dxc(qx) + dyc(qy)
+           + (qz[..., 1:, :, :] - qz[..., :-1, :, :]))
     vol = grid.az_cc * dz
     return -(div / vol) * wet_c

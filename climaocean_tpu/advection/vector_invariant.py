@@ -85,8 +85,12 @@ def momentum_tendencies(u, v, w, grid, f_ff=None, scheme="vector_invariant",
     if f_ff is None:
         f_ff = coriolis_ff(grid)
 
-    zeta = vorticity_ff(u, v, grid)
-    q = (zeta + f_ff) * _corner_wet(grid)
+    # Free-slip immersed corners: relative vorticity is zeroed at any corner
+    # touching land — boundary corners otherwise divide a finite masked
+    # circulation by a (possibly tiny, e.g. near tripolar poles) corner
+    # area and seed a nonlinear instability. Planetary vorticity stays.
+    zeta = vorticity_ff(u, v, grid) * _corner_wet(grid)
+    q = zeta + f_ff
 
     V = grid.dx_cf * v * grid.wet_v            # y-transport at (c,f)
     U = grid.dy_fc * u * grid.wet_u            # x-transport at (f,c)
@@ -118,12 +122,9 @@ def momentum_tendencies(u, v, w, grid, f_ff=None, scheme="vector_invariant",
 
 
 def _corner_wet(grid):
-    """Wet mask at corners (f,f). Velocities on dry faces are already masked
-    to zero before the circulation integral, which realizes a no-slip-like
-    immersed corner; the corner itself is kept active wherever any of the
-    four surrounding centers is wet so vorticity advection sees the boundary
-    vorticity sheet."""
-    w = grid.wet_c
+    """Strict corner wet mask at (f,f): 1 only where all four surrounding
+    center cells are wet (interior corners). Boundary corners carry zero
+    relative vorticity — the free-slip immersed-boundary convention."""
     from ..core.stencil import xm1, ym1
-    any_wet = jnp.clip(w + xm1(w) + ym1(w) + xm1(ym1(w)), 0.0, 1.0)
-    return any_wet
+    w = grid.wet_c
+    return w * xm1(w) * ym1(w) * xm1(ym1(w))

@@ -2,13 +2,13 @@
 
 TPU-native replacement for Oceananigans' ``fill_halo_regions!``
 (reference call sites: SURVEY.md §2b "Boundary conditions" row). Periodic
-directions copy the opposite interior edge; bounded directions replicate the
-edge value (zero-gradient), while no-normal-flow / no-flux walls are enforced
-by the grid's wet masks (dry halo cells), keeping every stencil branchless.
+directions copy the opposite interior edge; bounded directions replicate
+the edge value (zero-gradient); tripolar grids apply the northern fold
+exchange (mirrored columns, sign-flipped velocities) — while no-normal-flow
+walls stay enforced by the grid's wet masks.
 
-Under `shard_map` the same function is swapped for the `parallel.halo`
-ppermute-based exchange; the numerics modules only ever call through the
-model's configured ``fill_halos``.
+Under `shard_map`/SPMD these same `.at[].set` copies lower to
+collective-permutes over ICI; the numerics only ever call `fill_halos`.
 """
 
 from __future__ import annotations
@@ -18,8 +18,19 @@ import jax.numpy as jnp
 from ..grids.grid import Grid
 
 
-def fill_halos(a: jnp.ndarray, grid: Grid) -> jnp.ndarray:
-    """Fill horizontal halos of a padded field of any z extent (or 2-D)."""
+def fill_halos(a: jnp.ndarray, grid: Grid, location: str = "c",
+               vector: bool = False) -> jnp.ndarray:
+    """Fill horizontal halos of a padded field of any z extent (or 2-D).
+
+    ``location``: "c" (centers), "u" (x-faces), "v" (y-faces) — matters
+    only for folded (tripolar) grids. ``vector=True`` flips the sign across
+    the fold.
+    """
+    if grid.kind.startswith("tripolar"):
+        from ..grids.tripolar import fill_halos_tripolar
+        return fill_halos_tripolar(a, grid, location,
+                                   -1.0 if vector else 1.0)
+
     H, Nx, Ny = grid.H, grid.Nx, grid.Ny
     if grid.periodic_x:
         a = a.at[..., :H].set(a[..., Nx:Nx + H])
@@ -37,6 +48,6 @@ def fill_halos(a: jnp.ndarray, grid: Grid) -> jnp.ndarray:
 
 
 def fill_halos_tree(fields, grid: Grid):
-    """Fill halos of every array leaf in a pytree (dict/NamedTuple of fields)."""
+    """Fill halos of every array leaf in a pytree of center fields."""
     import jax
     return jax.tree_util.tree_map(lambda a: fill_halos(a, grid), fields)

@@ -1,0 +1,190 @@
+"""Dataset metadata addressing + field ingestion.
+
+TPU-native rebuild of NumericalEarth's DataWrangling surface (reference:
+SURVEY.md §2b "DataWrangling" row; ingestion call stack §3.3):
+`Metadatum(:temperature; date, dataset, dir)` addressing, `set!(model;
+T=metadata)` ingestion (download → read → convert → regrid → device), and
+the named-dataset registry (ECCO2Daily, ECCO4Monthly, EN4Monthly, GLORYS,
+WOAAnnual, WOAMonthly, ETOPO, ORCA1).
+
+Zero-egress environment: every dataset resolves to (1) a local file under
+``dir`` if present (``.npz`` with arrays ``data``, ``z_faces``, ``lat_f``,
+``lon_f``; NetCDF3 via scipy if available), else (2) the analytic
+climatological proxy (`data.synthetic`). The download-with-fallback shape
+of the reference (`download_with_fallback.jl`) becomes
+file-or-synthetic-fallback here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import synthetic
+from .regrid import fill_ocean_missing, regrid_3d
+
+
+# --------------------------------------------------------------------------
+# dataset registry
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Dataset:
+    name: str
+    cadence: str = "monthly"            # "daily" | "monthly" | "annual" | "static"
+    resolution: float = 1.0             # degrees, for the synthetic native grid
+
+    def __repr__(self):
+        return self.name
+
+
+ECCO2Daily = lambda: Dataset("ECCO2Daily", "daily", 0.25)
+ECCO4Monthly = lambda: Dataset("ECCO4Monthly", "monthly", 0.5)
+EN4Monthly = lambda: Dataset("EN4Monthly", "monthly", 1.0)
+GLORYS = lambda: Dataset("GLORYS", "daily", 1.0 / 12.0)
+WOAAnnual = lambda: Dataset("WOAAnnual", "annual", 0.25)
+WOAMonthly = lambda: Dataset("WOAMonthly", "monthly", 0.25)
+ETOPO = lambda: Dataset("ETOPO", "static", 1.0 / 60.0)
+ORCA1 = lambda: Dataset("ORCA1", "static", 1.0)
+
+_SYNTH_VARS = {
+    "temperature": synthetic.synthetic_temperature,
+    "salinity": synthetic.synthetic_salinity,
+    "sea_ice_thickness": synthetic.synthetic_sea_ice_thickness,
+    "sea_ice_concentration": synthetic.synthetic_sea_ice_concentration,
+}
+
+
+@dataclass(frozen=True)
+class Metadatum:
+    """A (variable, date, dataset, dir) address — reference `Metadatum`."""
+    name: str
+    date: object = None
+    dataset: Dataset = None
+    dir: str = "."
+
+    def path(self) -> str:
+        """Local cache path (reference `metadata_path`)."""
+        d = self.dataset.name if self.dataset else "synthetic"
+        date = "" if self.date is None else f"_{self.date}"
+        return os.path.join(self.dir, f"{d}_{self.name}{date}.npz")
+
+
+@dataclass(frozen=True)
+class Metadata:
+    """A date-range of `Metadatum`s (reference `Metadata`)."""
+    name: str
+    dates: tuple = ()
+    dataset: Dataset = None
+    dir: str = "."
+
+    def __len__(self):
+        return max(1, len(self.dates))
+
+    def __iter__(self):
+        for d in self.dates:
+            yield Metadatum(self.name, d, self.dataset, self.dir)
+
+
+def _native_grid(meta, z_levels=33, depth=6000.0):
+    res = meta.dataset.resolution if meta.dataset else 1.0
+    res = max(res, 0.5)                  # synthetic fields are smooth; cap cost
+    nlat = int(round(180 / res))
+    nlon = int(round(360 / res))
+    lat_f = np.linspace(-90, 90, nlat + 1)
+    lon_f = np.linspace(-180, 180, nlon + 1)
+    # ascending faces (bottom -> surface), quadratically refined near surface
+    z_f = -(np.linspace(np.sqrt(depth), 0.0, z_levels + 1) ** 2)
+    z_f[-1] = 0.0
+    return z_f, lat_f, lon_f
+
+
+def _month_of(date) -> float | None:
+    if date is None:
+        return None
+    if isinstance(date, (int, float)):
+        return float(date) % 12.0
+    for attr in ("month",):
+        if hasattr(date, attr):
+            return float(getattr(date, attr))
+    return None
+
+
+def load_native(meta: Metadatum):
+    """Return (data[nz, nlat, nlon], z_f, lat_f, lon_f) on the dataset's
+    native grid: local file if present, else the analytic proxy."""
+    p = meta.path()
+    if os.path.exists(p):
+        with np.load(p) as f:
+            return (np.asarray(f["data"], np.float64), f["z_faces"],
+                    f["lat_f"], f["lon_f"])
+    if meta.name not in _SYNTH_VARS:
+        raise KeyError(f"no local file at {p} and no synthetic proxy for "
+                       f"'{meta.name}'")
+    z_f, lat_f, lon_f = _native_grid(meta)
+    lat_c = 0.5 * (lat_f[:-1] + lat_f[1:])
+    lon_c = 0.5 * (lon_f[:-1] + lon_f[1:])
+    z_c = 0.5 * (z_f[:-1] + z_f[1:])
+    LON, LAT = np.meshgrid(lon_c, lat_c)
+    fn = _SYNTH_VARS[meta.name]
+    month = _month_of(meta.date)
+    if meta.name.startswith("sea_ice"):
+        data = fn(LON, LAT, month if month is not None else 6)[None]
+        z_f = np.array([-1.0, 0.0])
+    else:
+        data = fn(LON[None], LAT[None], z_c[:, None, None], month=month)
+    return np.asarray(data, np.float64), z_f, lat_f, lon_f
+
+
+def regrid_to_grid(meta: Metadatum, grid, surface=False):
+    """Ingest a metadatum onto a model grid (interior numpy array),
+    following the reference's z→y→x conservative pipeline with ocean
+    flood-filling of missing values."""
+    data, z_f, lat_f, lon_f = load_native(meta)
+    data = fill_ocean_missing(data, None, passes=3)
+
+    H = grid.H
+    lat_dst = np.zeros(grid.Ny + 1)
+    lat_dst[:-1] = np.asarray(grid.lat_cf[H:H + grid.Ny, H])
+    lat_dst[-1] = 2 * lat_dst[-2] - lat_dst[-3]
+    lon_dst = np.zeros(grid.Nx + 1)
+    lon_dst[:-1] = np.asarray(grid.lon_ff[H, H:H + grid.Nx])
+    lon_dst[-1] = lon_dst[0] + 360.0 if grid.periodic_x else \
+        2 * lon_dst[-2] - lon_dst[-3]
+
+    if surface:
+        z_dst = np.array([-1.0, 0.0])
+        out = regrid_3d(data[-1:], (np.array([-1.0, 0.0]), lat_f, lon_f),
+                        (z_dst, lat_dst, lon_dst))
+        return out[0]
+    z_dst = np.asarray(grid.z_f)
+    return regrid_3d(data, (z_f, lat_f, lon_f), (z_dst, lat_dst, lon_dst))
+
+
+def set_fields(state, grid, **assignments):
+    """Reference `set!(model; T=Metadatum(...), S=..., h=np.ndarray)`:
+    ingest each assignment onto the grid and write the padded device array
+    into the state dict. Returns the updated state."""
+    import jax.numpy as jnp
+
+    H = grid.H
+    out = dict(state)
+    for key, src in assignments.items():
+        surface = key in ("eta", "thickness", "concentration", "snow", "Ts", "h", "a")
+        if isinstance(src, (Metadatum, Metadata)):
+            meta = next(iter(src)) if isinstance(src, Metadata) else src
+            interior = regrid_to_grid(meta, grid, surface=surface)
+        else:
+            interior = np.asarray(src)
+        if surface:
+            padded = np.zeros((grid.Nyp, grid.Nxp), np.float32)
+            padded[H:H + grid.Ny, H:H + grid.Nx] = interior
+        else:
+            padded = np.zeros((grid.Nz, grid.Nyp, grid.Nxp), np.float32)
+            padded[:, H:H + grid.Ny, H:H + grid.Nx] = interior
+        name = {"h": "thickness", "a": "concentration"}.get(key, key)
+        out[name] = jnp.asarray(padded)
+    return out

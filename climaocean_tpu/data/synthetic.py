@@ -42,11 +42,22 @@ def synthetic_bathymetry(lon, lat):
         in_lat = np.clip((lat - south) / 5.0, 0.0, 1.0) * np.clip((north - lat) / 5.0, 0.0, 1.0)
         return in_lon * np.clip(in_lat * 3.0, 0.0, 1.0)
 
+    def cap(center_lon, center_lat, radius_deg):
+        dl = np.abs(((lonw - center_lon + 180.0) % 360.0) - 180.0) \
+            * np.cos(np.deg2rad(center_lat))
+        dp = lat - center_lat
+        r = np.sqrt(dl ** 2 + dp ** 2)
+        return (r < radius_deg).astype(np.float64)
+
+    # Continents are sized so the standard tripolar poles (~55°N at 70°E and
+    # 110°W) fall on solid land, as they do on the real Earth.
     land = np.zeros_like(depth)
-    land = np.maximum(land, continent(-70.0, 18.0, -55.0, 70.0))   # "Americas"
-    land = np.maximum(land, continent(25.0, 25.0, -35.0, 70.0))    # "Afro-Eurasia"
+    land = np.maximum(land, continent(-85.0, 28.0, -55.0, 72.0))   # "Americas"
+    land = np.maximum(land, continent(40.0, 42.0, -35.0, 72.0))    # "Afro-Eurasia"
     land = np.maximum(land, continent(135.0, 12.0, -40.0, -12.0))  # "Australia"
     land = np.maximum(land, (lat < -70.0).astype(np.float64))      # "Antarctica"
+    land = np.maximum(land, cap(70.0, 55.0, 10.0))                 # "Siberia" pole
+    land = np.maximum(land, cap(-110.0, 55.0, 10.0))               # "Canada" pole
 
     ridge = 1800.0 * np.exp(-((lonw + 25.0) / 8.0) ** 2)           # mid-ocean ridge
     h = -(depth - ridge)

@@ -40,6 +40,27 @@ R_EARTH = 6371.0e3  # m, mean Earth radius (matches Oceananigans' default R_Eart
 DEG2RAD = np.pi / 180.0
 
 
+def fold_center_map(kind: str, Nx: int, H: int):
+    """Tripolar grids encode the pole face-column index p in their kind
+    string ("tripolar:<p>"); return the padded center-column mirror map for
+    the northern fold, or None for non-folded grids."""
+    if not kind.startswith("tripolar:"):
+        return None
+    p = int(kind.split(":")[1])
+    ii = np.arange(Nx + 2 * H)
+    interior = (ii - H) % Nx
+    return ((2 * p - 1 - interior) % Nx) + H
+
+
+def fold_face_map(kind: str, Nx: int, H: int):
+    if not kind.startswith("tripolar:"):
+        return None
+    p = int(kind.split(":")[1])
+    ii = np.arange(Nx + 2 * H)
+    interior = (ii - H) % Nx
+    return ((2 * p - interior) % Nx) + H
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["lon_cc", "lat_cc", "lon_ff", "lat_ff", "lat_fc", "lat_cf",
                       "dx_cc", "dx_fc", "dx_cf", "dx_ff",
@@ -47,7 +68,8 @@ DEG2RAD = np.pi / 180.0
                       "az_cc", "az_fc", "az_cf", "az_ff",
                       "z_f", "z_c", "dz_c", "dz_f",
                       "bottom_height",
-                      "wet_c", "wet_u", "wet_v", "wet_w"],
+                      "wet_c", "wet_u", "wet_v", "wet_w",
+                      "rot_cos", "rot_sin"],
          meta_fields=["Nx", "Ny", "Nz", "H", "periodic_x", "periodic_y", "kind"])
 @dataclass(frozen=True)
 class Grid:
@@ -94,6 +116,10 @@ class Grid:
     wet_u: jnp.ndarray          # (Nz,  Nyp, Nxp)
     wet_v: jnp.ndarray          # (Nz,  Nyp, Nxp)
     wet_w: jnp.ndarray          # (Nz+1,Nyp, Nxp)
+
+    # --- local grid-x orientation vs geographic east (curvilinear grids) ----
+    rot_cos: jnp.ndarray        # (Nyp, Nxp); 1 for lat-lon/rectilinear
+    rot_sin: jnp.ndarray        # (Nyp, Nxp); 0 for lat-lon/rectilinear
 
     # --- convenience ---------------------------------------------------------
     @property
@@ -186,10 +212,12 @@ def _vertical_arrays(z_faces):
     return z_f, z_c, dz_c, dz_f
 
 
-def _build_masks(z_c, dz_c, bottom_height, H, Ny, Nx, periodic_x, periodic_y):
+def _build_masks(z_c, dz_c, bottom_height, H, Ny, Nx, periodic_x, periodic_y,
+                 fold_c_map=None):
     """GridFittedBottom wet masks. A center cell is wet iff its center sits
     above the bottom height (reference `GridFittedBottom` semantics,
-    `one_degree_tripolar.jl:58`)."""
+    `one_degree_tripolar.jl:58`). ``fold_c_map``: tripolar northern fold —
+    the northern halo mirrors interior rows instead of drying."""
     Nz = z_c.shape[0]
     wet_c = (z_c[:, None, None] > bottom_height[None, :, :]).astype(np.float32)
 
@@ -199,7 +227,11 @@ def _build_masks(z_c, dz_c, bottom_height, H, Ny, Nx, periodic_x, periodic_y):
         wet_c[:, :, H + Nx:] = 0.0
     if not periodic_y:
         wet_c[:, :H, :] = 0.0
-        wet_c[:, H + Ny:, :] = 0.0
+        if fold_c_map is None:
+            wet_c[:, H + Ny:, :] = 0.0
+        else:
+            for k in range(H):
+                wet_c[:, H + Ny + k, :] = wet_c[:, H + Ny - 1 - k, fold_c_map]
 
     wm_x = np.roll(wet_c, 1, axis=2)
     wm_y = np.roll(wet_c, 1, axis=1)
@@ -215,16 +247,21 @@ def _build_masks(z_c, dz_c, bottom_height, H, Ny, Nx, periodic_x, periodic_y):
 
 def _finalize(kind, Nx, Ny, Nz, H, periodic_x, periodic_y,
               lon_cc, lat_cc, lon_ff, lat_ff, lat_fc, lat_cf,
-              dx, dy, az, z_faces, bottom_height):
+              dx, dy, az, z_faces, bottom_height, rot=None):
     z_f, z_c, dz_c, dz_f = _vertical_arrays(z_faces)
     if bottom_height is None:
         bottom_height = np.full((Ny + 2 * H, Nx + 2 * H), z_f[0] - 1.0)
     wet_c, wet_u, wet_v, wet_w = _build_masks(
-        z_c, dz_c, bottom_height, H, Ny, Nx, periodic_x, periodic_y)
+        z_c, dz_c, bottom_height, H, Ny, Nx, periodic_x, periodic_y,
+        fold_c_map=fold_center_map(kind, Nx, H))
+    if rot is None:
+        rot = (np.ones((Ny + 2 * H, Nx + 2 * H)),
+               np.zeros((Ny + 2 * H, Nx + 2 * H)))
 
     ft = default_float()
     j = lambda a: jnp.asarray(a, dtype=ft)
     return Grid(
+        rot_cos=j(rot[0]), rot_sin=j(rot[1]),
         Nx=Nx, Ny=Ny, Nz=Nz, H=H,
         periodic_x=periodic_x, periodic_y=periodic_y, kind=kind,
         lon_cc=j(lon_cc), lat_cc=j(lat_cc), lon_ff=j(lon_ff), lat_ff=j(lat_ff),
@@ -347,11 +384,15 @@ def with_bottom_height(grid: Grid, bottom_interior, minimum_depth: float = 0.0) 
     if grid.periodic_x:
         hb_p[:, :H] = hb_p[:, grid.Nx:grid.Nx + H]
         hb_p[:, H + grid.Nx:] = hb_p[:, H:2 * H]
+    c_map = fold_center_map(grid.kind, grid.Nx, H)
+    if c_map is not None:
+        for k in range(H):
+            hb_p[H + grid.Ny + k, :] = hb_p[H + grid.Ny - 1 - k, c_map]
 
     z_c = np.asarray(grid.z_c)
     wet_c, wet_u, wet_v, wet_w = _build_masks(
         z_c, np.asarray(grid.dz_c), hb_p, H, grid.Ny, grid.Nx,
-        grid.periodic_x, grid.periodic_y)
+        grid.periodic_x, grid.periodic_y, fold_c_map=c_map)
 
     ft = default_float()
     return dataclasses.replace(

@@ -1,0 +1,222 @@
+"""Tripolar (Arctic-fold) grid.
+
+TPU-native rebuild of Oceananigans' `TripolarGrid` (reference call sites:
+`one_degree_tripolar.jl:48-51` — 360×180 tripolar; `half_degree`,
+`sixth_degree`, `tenth_degree`; fold/`RightFaceFolded` v-faces noted at
+SURVEY.md §2b). ORCA-family topology: regular latitude-longitude south of a
+transition ("joint") latitude; north of it an orthogonal bipolar patch
+whose two poles sit over land, built from the conformal map
+
+    z = a · sin(u + i v)
+
+in the north-polar stereographic plane. Constant-|v| curves are confocal
+ellipses around the two poles (grid "parallels"); constant-u curves are the
+orthogonal confocal hyperbolae ("meridians"); v = 0 is the seam segment
+joining the poles — the grid's folded northern boundary. Conformality
+gives orthogonality, so C-grid metrics are exact great-circle distances
+between adjacent nodes of a 2×-refined node lattice.
+
+Fold topology: the seam lies along a face row; ghost cell row Ny+k mirrors
+interior row Ny−1−k with the column map i ↦ (2p − 1 − i) mod Nx (centers) /
+i ↦ (2p − i) mod Nx (x-faces), where p is the pole's face-column index —
+the mirror axis λ' = 0 must coincide with a face column, which requires
+(first_pole_longitude + 180) to be a multiple of the grid spacing (we
+snap it). Velocity components flip sign across the fold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import vertical as vgrid
+from .grid import DEG2RAD, R_EARTH, _finalize
+
+
+def _great_circle(lon1, lat1, lon2, lat2, radius=R_EARTH):
+    p1, p2 = np.deg2rad(lat1), np.deg2rad(lat2)
+    dl = np.deg2rad(lon2 - lon1)
+    h = (np.sin((p2 - p1) / 2) ** 2
+         + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2)
+    return 2 * radius * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+
+def tripolar_grid(size, southernmost_latitude=-80.0, halo=4,
+                  z=(-6000.0, 0.0), north_poles_latitude=55.0,
+                  first_pole_longitude=70.0, joint_latitude=None,
+                  radius=R_EARTH):
+    """Build a tripolar `Grid` (see module docstring).
+
+    ``size = (Nx, Ny, Nz)``; defaults mirror Oceananigans' TripolarGrid.
+    """
+    Nx, Ny, Nz = size
+    H = halo
+    Nxp = Nx + 2 * H
+    Nyp = Ny + 2 * H
+    dlam = 360.0 / Nx
+
+    # snap the pole longitude to a face column so the fold mirror maps
+    # centers to centers
+    p = int(round((first_pole_longitude + 180.0) / dlam))
+    first_pole_longitude = -180.0 + p * dlam
+
+    a = np.tan(np.deg2rad(90.0 - north_poles_latitude) / 2.0)
+    if joint_latitude is None:
+        joint_latitude = north_poles_latitude - 10.0
+
+    span_south = joint_latitude - southernmost_latitude
+    span_north = 90.0 - joint_latitude
+    n_north = max(4, int(round(Ny * span_north / (span_south + span_north))))
+    n_south = Ny - n_north
+    dphi = span_south / n_south
+
+    # --- refined lattice over ONE x-period (2Nx columns), then pad ----------
+    nq = 2 * Nx                                   # refined columns per period
+    nfy = 2 * Nyp + 1
+    lam_ref = -180.0 + np.arange(nq) * dlam / 2.0
+    lon_p = np.zeros((nfy, nq))
+    lat_p = np.zeros((nfy, nq))
+
+    m_joint = 2 * (H + n_south)
+    m_top = 2 * (H + Ny)                          # seam lattice row
+
+    # southern latitude ladder (clipped for below-pole halo rows)
+    for m in range(0, min(m_joint, nfy)):
+        lat_p[m, :] = np.clip(
+            southernmost_latitude + (m - 2 * H) * dphi / 2.0, -89.95, 89.95)
+        lon_p[m, :] = lam_ref
+
+    # bipolar cap rows m_joint .. m_top
+    r_joint = np.tan(np.deg2rad(90.0 - joint_latitude) / 2.0)
+    v_joint = np.arccosh(max(r_joint / a, 1.0 + 1e-9))
+    n_vrows = m_top - m_joint
+    # Row ladder: linear in sinh(v) (the ellipse semi-minor axis), not in v —
+    # linear-in-v bunches rows quadratically at the seam, shrinking the
+    # near-fold cells ~50x below nominal and wrecking the barotropic CFL.
+    s_joint = np.sinh(v_joint)
+    v_ladder = np.arcsinh(s_joint * (1.0 - np.arange(n_vrows + 1) / n_vrows))
+
+    lamp_r = np.deg2rad(lam_ref - first_pole_longitude)
+    u = np.pi / 2.0 - lamp_r
+    u_wrapped = (u + np.pi / 2.0) % (2.0 * np.pi) - np.pi / 2.0
+    branch = np.where(u_wrapped <= np.pi / 2.0, 1.0, -1.0)
+    u_eff = np.where(branch > 0, u_wrapped, np.pi - u_wrapped)
+    u_eff = (u_eff + np.pi) % (2 * np.pi) - np.pi
+
+    for k, m in enumerate(range(m_joint, min(m_top + 1, nfy))):
+        zc = a * np.sin(u_eff + 1j * v_ladder[k] * branch)
+        r = np.abs(zc)
+        lat_p[m, :] = np.clip(90.0 - 2.0 * np.rad2deg(np.arctan(r)), -89.95, 89.95)
+        lon_p[m, :] = np.rad2deg(np.angle(zc)) + first_pole_longitude
+
+    # ghost lattice rows above the seam: mirror about the seam row and the
+    # fold axis (refined column q -> (2*2p - q) mod nq; 2p = refined index
+    # of the pole face column)
+    q_mirror = (2 * (2 * p) - np.arange(nq)) % nq
+    for m in range(m_top + 1, nfy):
+        msrc = 2 * m_top - m
+        lon_p[m, :] = lon_p[msrc, q_mirror]
+        lat_p[m, :] = lat_p[msrc, q_mirror]
+
+    # pad to the halo-extended refined array (periodic wrap, q offset -2H)
+    nfx = 2 * Nxp + 1
+    qpad = (np.arange(nfx) - 2 * H) % nq
+    wraps = (np.arange(nfx) - 2 * H) // nq        # how many +360 wraps
+    lon = lon_p[:, qpad] + 360.0 * wraps[None, :]
+    lat = lat_p[:, qpad]
+
+    # --- coordinate / metric arrays -----------------------------------------
+    jj = np.arange(Nyp)
+    ii = np.arange(Nxp)
+    Mj_c = 2 * jj + 1
+    Mj_f = 2 * jj
+    Mi_c = 2 * ii + 1
+    Mi_f = 2 * ii
+
+    lon_cc = lon[np.ix_(Mj_c, Mi_c)]
+    lat_cc = lat[np.ix_(Mj_c, Mi_c)]
+    lon_ff = lon[np.ix_(Mj_f, Mi_f)]
+    lat_ff = lat[np.ix_(Mj_f, Mi_f)]
+    lat_fc = lat[np.ix_(Mj_c, Mi_f)]
+    lat_cf = lat[np.ix_(Mj_f, Mi_c)]
+
+    def dist(mja, mia, mjb, mib):
+        mja = np.clip(mja, 0, nfy - 1)
+        mjb = np.clip(mjb, 0, nfy - 1)
+        mia = np.clip(mia, 0, nfx - 1)
+        mib = np.clip(mib, 0, nfx - 1)
+        return _great_circle(lon[np.ix_(mja, mia)], lat[np.ix_(mja, mia)],
+                             lon[np.ix_(mjb, mib)], lat[np.ix_(mjb, mib)],
+                             radius)
+
+    dx_cc = dist(Mj_c, Mi_f, Mj_c, Mi_f + 2)
+    dx_fc = dist(Mj_c, Mi_c - 2, Mj_c, Mi_c)
+    dx_cf = dist(Mj_f, Mi_f, Mj_f, Mi_f + 2)
+    dx_ff = dist(Mj_f, Mi_c - 2, Mj_f, Mi_c)
+    dy_cc = dist(Mj_f, Mi_c, Mj_f + 2, Mi_c)
+    dy_fc = dist(Mj_f, Mi_f, Mj_f + 2, Mi_f)
+    dy_cf = dist(Mj_c - 2, Mi_c, Mj_c, Mi_c)
+    dy_ff = dist(Mj_c - 2, Mi_f, Mj_c, Mi_f)
+
+    floor = 1e-3 * radius * DEG2RAD * dlam
+    for arr in (dx_cc, dx_fc, dx_cf, dx_ff, dy_cc, dy_fc, dy_cf, dy_ff):
+        np.maximum(arr, floor, out=arr)
+
+    az = {"cc": dx_cc * dy_cc, "fc": dx_fc * dy_fc,
+          "cf": dx_cf * dy_cf, "ff": dx_ff * dy_ff}
+    dx = {"cc": dx_cc, "fc": dx_fc, "cf": dx_cf, "ff": dx_ff}
+    dy = {"cc": dy_cc, "fc": dy_fc, "cf": dy_cf, "ff": dy_ff}
+
+    # local grid-x orientation vs geographic east (centers)
+    dlon = lon[np.ix_(Mj_c, np.clip(Mi_c + 1, 0, nfx - 1))] \
+        - lon[np.ix_(Mj_c, np.clip(Mi_c - 1, 0, nfx - 1))]
+    dlon = (dlon + 180.0) % 360.0 - 180.0
+    dlat = lat[np.ix_(Mj_c, np.clip(Mi_c + 1, 0, nfx - 1))] \
+        - lat[np.ix_(Mj_c, np.clip(Mi_c - 1, 0, nfx - 1))]
+    ex = dlon * np.cos(np.deg2rad(lat_cc))
+    ey = dlat
+    norm = np.sqrt(ex ** 2 + ey ** 2) + 1e-12
+    rot = (ex / norm, ey / norm)
+
+    z_faces = vgrid.resolve_z_faces(z, Nz)
+    return _finalize(f"tripolar:{p}", Nx, Ny, Nz, H, True, False,
+                     lon_cc, lat_cc, lon_ff, lat_ff, lat_fc, lat_cf,
+                     dx, dy, az, z_faces, None, rot=rot)
+
+
+# --------------------------------------------------------------------------
+# fold halo exchange
+# --------------------------------------------------------------------------
+
+def fill_halos_tripolar(a, grid, location="c", fold_sign=1.0):
+    """Halo fill for tripolar fields: periodic x, zero-gradient south,
+    fold north. ``location``: "c" | "u" | "v"; ``fold_sign``: −1 for
+    velocity components. The fold maps are static (computed from grid
+    metadata at trace time)."""
+    import jax.numpy as jnp
+
+    from .grid import fold_center_map, fold_face_map
+
+    H, Nx, Ny = grid.H, grid.Nx, grid.Ny
+    a = a.at[..., :H].set(a[..., Nx:Nx + H])
+    a = a.at[..., H + Nx:].set(a[..., H:2 * H])
+    a = a.at[..., :H, :].set(a[..., H:H + 1, :])
+
+    c_map = jnp.asarray(fold_center_map(grid.kind, Nx, H))
+    f_map = jnp.asarray(fold_face_map(grid.kind, Nx, H))
+
+    if location == "v":
+        # y-faces reflect about the seam face row H+Ny:
+        #   ghost face H+Ny+k ← −v[H+Ny−k, mirror_c]
+        for k in range(1, H):
+            a = a.at[..., H + Ny + k, :].set(
+                fold_sign * jnp.take(a[..., H + Ny - k, :], c_map, axis=-1))
+        # seam face: antisymmetric average with its mirror partner
+        seam = a[..., H + Ny, :]
+        seam_m = jnp.take(seam, c_map, axis=-1)
+        a = a.at[..., H + Ny, :].set(0.5 * (seam + fold_sign * seam_m))
+    else:
+        idx = f_map if location == "u" else c_map
+        for k in range(H):
+            a = a.at[..., H + Ny + k, :].set(
+                fold_sign * jnp.take(a[..., H + Ny - 1 - k, :], idx, axis=-1))
+    return a

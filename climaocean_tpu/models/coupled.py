@@ -29,9 +29,15 @@ CP_OCEAN = 3991.0           # J/kg/K (TEOS-10 cp0)
 RHO_FRESH = 1000.0
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["ocean", "atmosphere", "sea_ice"],
+         meta_fields=["atmosphere_ocean_fluxes", "atmosphere_sea_ice_fluxes",
+                      "ocean_albedo", "ocean_emissivity",
+                      "ocean_minimum_salinity"])
 @dataclass(frozen=True)
 class OceanSeaIceModel:
-    """Static coupled-model configuration.
+    """Coupled-model configuration (a pytree: the component models carry the
+    device arrays as leaves so the jitted step takes them as arguments).
 
     ``sea_ice`` is either None (reference's ocean-only `OceanSeaIceModel`
     with no sea ice — the README benchmark workload) or a SeaIceModel.
@@ -58,8 +64,13 @@ def atmosphere_ocean_fluxes(model, atmos, ocean_state):
     SST_K = ocean_state["T"][-1] + CELSIUS
     SSS = ocean_state["S"][-1]
     q_surf = 0.98 * saturation_specific_humidity(SST_K, atmos.p, over_ocean=False)
-    u_surf = ocean_state["u"][-1]
-    v_surf = ocean_state["v"][-1]
+    # surface velocity in the geographic frame (identity on lat-lon grids;
+    # rotation matters on the tripolar cap)
+    c, s = grid.rot_cos, grid.rot_sin
+    u_g = ocean_state["u"][-1]
+    v_g = ocean_state["v"][-1]
+    u_surf = c * u_g - s * v_g
+    v_surf = s * u_g + c * v_g
 
     turb = model.atmosphere_ocean_fluxes(atmos, SST_K, q_surf, u_surf, v_surf)
 
@@ -71,9 +82,12 @@ def atmosphere_ocean_fluxes(model, atmos, ocean_state):
     fw = (turb.evaporation - atmos.rain - atmos.snow) / RHO_FRESH  # m/s out of ocean
     Q_S = SSS * fw                                          # g/kg·m/s into ocean
 
+    # rotate the geographic-frame stress onto the (possibly curvilinear) grid
+    tau_x_g = c * turb.tau_x + s * turb.tau_y
+    tau_y_g = -s * turb.tau_x + c * turb.tau_y
     fluxes = SurfaceFluxes(
-        tau_x=turb.tau_x / RHO_OCEAN,
-        tau_y=turb.tau_y / RHO_OCEAN,
+        tau_x=tau_x_g / RHO_OCEAN,
+        tau_y=tau_y_g / RHO_OCEAN,
         Q_T=Q_nonpen / (RHO_OCEAN * CP_OCEAN),
         Q_S=Q_S,
         Q_sw=Q_sw / (RHO_OCEAN * CP_OCEAN),
@@ -118,5 +132,12 @@ def coupled_step(model, state, t, dt):
 
 
 def make_coupled_step_fn(model, donate=True):
-    f = partial(coupled_step, model)
-    return jax.jit(f, donate_argnums=(0,) if donate else ())
+    """Jitted ``(state, t, dt) -> state``. The model pytree is passed as an
+    argument on every call (arrays already live on device — this is free)
+    so its leaves are HLO parameters, never embedded literals."""
+    jitted = jax.jit(coupled_step, donate_argnums=(1,) if donate else ())
+
+    def f(state, t, dt):
+        return jitted(model, state, t, dt)
+
+    return f

@@ -50,7 +50,8 @@ def barotropic_divergence(U, V, grid):
 
 
 def substep_barotropic(bt: BarotropicState, grid, GU, GV, dt_stage,
-                       substeps, fill_halos_2d, g=G_EARTH):
+                       substeps, fill_halos_2d, g=G_EARTH,
+                       fill_U=None, fill_V=None):
     """Integrate the barotropic system over an extended window 2·dt_stage
     with ``substeps`` forward-backward steps; return the window-averaged
     state (and the final instantaneous state for the next stage).
@@ -63,6 +64,8 @@ def substep_barotropic(bt: BarotropicState, grid, GU, GV, dt_stage,
     M = substeps
     dtau = 2.0 * dt_stage / M
     w = 1.0 / M
+    fill_U = fill_U or fill_halos_2d
+    fill_V = fill_V or fill_halos_2d
 
     def body(carry, _):
         eta, U, V, eta_a, U_a, V_a = carry
@@ -74,8 +77,8 @@ def substep_barotropic(bt: BarotropicState, grid, GU, GV, dt_stage,
         eta = fill_halos_2d(eta) * wet2_c
         U = U + dtau * (-g * H_u * dxf(eta) / grid.dx_fc + GU)
         V = V + dtau * (-g * H_v * dyf(eta) / grid.dy_cf + GV)
-        U = fill_halos_2d(U) * wet2_u
-        V = fill_halos_2d(V) * wet2_v
+        U = fill_U(U) * wet2_u
+        V = fill_V(V) * wet2_v
         return (eta, U, V, eta_a + w * eta, U_a + w * U, V_a + w * V), None
 
     z = jnp.zeros_like(bt.eta)

@@ -60,9 +60,17 @@ SW_SCALE1 = 0.35     # m
 SW_SCALE2 = 23.0     # m
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["grid", "closures"],
+         meta_fields=["momentum_scheme", "momentum_order", "tracer_order",
+                      "eos", "substeps", "g", "rotation_rate", "rk3_gammas"])
 @dataclass(frozen=True)
 class HydrostaticModel:
-    """Static configuration (not a pytree — closed over by the jitted step)."""
+    """Model configuration. Registered as a pytree so the grid's metric and
+    mask arrays are *arguments* of the jitted step, not closed-over
+    constants — embedding them as HLO literals bloats the serialized
+    program past what the remote-compile transport accepts (and bloats the
+    executable)."""
     grid: object
     closures: tuple = ()
     momentum_scheme: str = "vector_invariant"     # or "weno_vector_invariant"
@@ -160,8 +168,8 @@ def tendencies(model, state, fluxes):
     it lives in the substepped 2-D mode)."""
     grid = model.grid
 
-    u = fill_halos(state["u"], grid) * grid.wet_u
-    v = fill_halos(state["v"], grid) * grid.wet_v
+    u = fill_halos(state["u"], grid, "u", vector=True) * grid.wet_u
+    v = fill_halos(state["v"], grid, "v", vector=True) * grid.wet_v
     T = fill_halos(state["T"], grid)
     S = fill_halos(state["S"], grid)
     state = dict(state, u=u, v=v, T=T, S=S)
@@ -182,9 +190,11 @@ def tendencies(model, state, fluxes):
     G_u = G_u + dxf(Bint) / grid.dx_fc * grid.wet_u
     G_v = G_v + dyf(Bint) / grid.dy_cf * grid.wet_v
 
-    # --- tracers -----------------------------------------------------------
-    G_T = tracer_flux_divergence(T, u, v, w, grid, model.tracer_order)
-    G_S = tracer_flux_divergence(S, u, v, w, grid, model.tracer_order)
+    # --- tracers (batched: one WENO graph instance for T and S — keeps the
+    # serialized HLO small; the stencil ops broadcast over the leading axis)
+    TS = jnp.stack([T, S])
+    G_TS = tracer_flux_divergence(TS, u, v, w, grid, model.tracer_order)
+    G_T, G_S = G_TS[0], G_TS[1]
 
     # --- surface fluxes ----------------------------------------------------
     dz_top = grid.dz_c[-1]
@@ -213,8 +223,9 @@ def implicit_vertical_step(model, state, aux, dt):
 
     a, b, c = implicit_vertical_diffusion_matrix(
         kap_w, grid.dz_c, grid.dz_f, dt, grid.wet_c, grid.wet_w)
-    T = solve_tridiagonal(a, b, c, state["T"] * grid.wet_c)
-    S = solve_tridiagonal(a, b, c, state["S"] * grid.wet_c)
+    TS = jax.vmap(solve_tridiagonal, in_axes=(None, None, None, 0))(
+        a, b, c, jnp.stack([state["T"], state["S"]]) * grid.wet_c)
+    T, S = TS[0], TS[1]
 
     au, bu, cu = implicit_vertical_diffusion_matrix(
         nu_w, grid.dz_c, grid.dz_f, dt, grid.wet_u, grid.wet_w)
@@ -248,7 +259,9 @@ def rk3_substage(model, state0, state_prev, fluxes, dt_stage, substeps):
     bt0 = fs.BarotropicState(state0["eta"], U0, V0)
     averaged, _ = fs.substep_barotropic(
         bt0, grid, GU, GV, dt_stage, substeps,
-        lambda a: fill_halos(a, grid), model.g)
+        lambda a: fill_halos(a, grid), model.g,
+        fill_U=lambda a: fill_halos(a, grid, "u", vector=True),
+        fill_V=lambda a: fill_halos(a, grid, "v", vector=True))
 
     # explicit 3-D update (closure prognostics restart from state0 too)
     new = dict(state0)
@@ -270,16 +283,31 @@ def rk3_substage(model, state0, state_prev, fluxes, dt_stage, substeps):
 def step(model, state, fluxes, dt):
     """One full SplitRungeKutta3 step (reference `:SplitRungeKutta3`,
     `omip_simulation.jl:604`): u¹ = uⁿ + Δt/3 G(uⁿ); u² = uⁿ + Δt/2 G(u¹);
-    uⁿ⁺¹ = uⁿ + Δt G(u²). Barotropic substeps are prorated per stage so one
-    full step costs ~`substeps`·(1/3+1/2+1) 2-D iterations, like the
-    reference."""
-    s = state
-    for gamma in model.rk3_gammas:
-        nsub = max(4, int(-(-model.substeps * gamma // 1)))
-        s = rk3_substage(model, state, s, fluxes, gamma * dt, nsub)
+    uⁿ⁺¹ = uⁿ + Δt G(u²).
+
+    The three stages run as a `lax.scan` over the stage coefficients so the
+    (large) tendency graph appears ONCE in the compiled HLO — the serialized
+    program must fit the remote-compile transport, and 3 inlined copies of
+    the WENO stencils do not. Each stage runs the same (static) number of
+    barotropic substeps; early stages simply use a smaller δτ, which only
+    helps stability."""
+    gammas = jnp.asarray(model.rk3_gammas, dtype=state["eta"].dtype)
+
+    def stage_body(s_prev, gamma):
+        s = rk3_substage(model, state, s_prev, fluxes, gamma * dt,
+                         model.substeps)
+        return s, None
+
+    s, _ = jax.lax.scan(stage_body, state, gammas)
     return s
 
 
 def make_step_fn(model):
-    """Return a jitted ``(state, fluxes, dt) -> state``."""
-    return jax.jit(partial(step, model))
+    """Return a jitted ``(state, fluxes, dt) -> state`` (the model pytree is
+    an argument so its arrays stay HLO parameters, not literals)."""
+    jitted = jax.jit(step)
+
+    def f(state, fluxes, dt):
+        return jitted(model, state, fluxes, dt)
+
+    return f

@@ -65,6 +65,9 @@ def default_ice_atmosphere_fluxes():
         stable_psi="ice")
 
 
+@partial(jax.tree_util.register_dataclass, data_fields=["grid"],
+         meta_fields=["dynamics", "substeps", "Pstar", "Cstar", "e_ellipse",
+                      "atmosphere_fluxes", "snow", "min_thickness"])
 @dataclass(frozen=True)
 class SeaIceModel:
     grid: object

