@@ -42,6 +42,9 @@ class ClosureAux(NamedTuple):
     S2: jnp.ndarray         # vertical shear² at w-faces (Nz+1, ...)
     u_star: jnp.ndarray     # surface friction velocity (Nyp, Nxp)
     Qb: jnp.ndarray         # surface buoyancy flux (m²/s³), + = destabilizing
+    fluxes: object          # the SurfaceFluxes named tuple (into-ocean signs)
+    alpha: jnp.ndarray      # surface thermal expansion (Nyp, Nxp)
+    beta: jnp.ndarray       # surface haline contraction (Nyp, Nxp)
 
 
 def sum_diffusivities(closures, grid, fields, aux):

@@ -1,0 +1,238 @@
+"""OMIP experiment protocol — the reference's top-level product.
+
+TPU-native rebuild of `src/OMIPConfigurations/omip_simulation.jl` (691 LoC;
+SURVEY.md §2a, call stack §3.1): the `omip_simulation(config)` builder with
+the 6-way vertical-closure selector (`omip_closure`, :442-496), the three
+flux configurations (:default/:corrected/:ncar — `build_coupled_model`,
+:123-164), global salinity-flux normalization (:182-220), JRA55-style
+forcing (`atmosphere.jl`), the progress callback with the STATE_HASH
+determinism probe (:644-691), and the OMIP diagnostics wiring.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time as _time
+
+import numpy as np
+
+from ..closures.catke import CATKEVerticalDiffusivity
+from ..closures.kpp import KPPVerticalDiffusivity
+from ..closures.nemo_tke import NEMOTKEVerticalDiffusivity
+from ..closures.ri_based import RiBasedVerticalDiffusivity
+from ..closures.scalar_diffusivity import (
+    ConvectiveAdjustmentVerticalDiffusivity, HorizontalScalarBiharmonicDiffusivity,
+    VerticalScalarDiffusivity, henyey_diffusivity, step_kappa_simple,
+    step_nu_simple)
+from ..coupler.atmosphere import synthetic_prescribed_atmosphere
+from ..coupler.similarity_theory import (CoefficientBasedFluxes,
+                                         SimilarityTheoryFluxes)
+from ..models.coupled import OceanSeaIceModel, make_coupled_step_fn
+from ..models.sea_ice import SeaIceModel, default_ice_atmosphere_fluxes
+from ..simulation.diagnostics import add_omip_diagnostics
+from ..simulation.simulation import IterationInterval, Simulation
+from ..utils.units import days, minutes, prettytime
+from . import tripolar as tri
+from .ocean import latitude_longitude_ocean
+
+
+def omip_closure(vertical_closure="catke", kappa_skew=500.0,
+                 kappa_symmetric=200.0, Cb=0.28, biharmonic_timescale=15 * days,
+                 biharmonic_viscosity=None, CWu=None):
+    """Reference `omip_closure` (`omip_simulation.jl:442-496`): primary
+    vertical closure + optional GM + biharmonic + background κ/ν."""
+    name = str(vertical_closure).lstrip(":")
+    if name == "catke":
+        kw = {"Cb": Cb}
+        if CWu is not None:
+            kw["CWu"] = CWu
+        primary = CATKEVerticalDiffusivity(**kw)
+        background = VerticalScalarDiffusivity(
+            nu=3e-5, kappa=lambda lat, z: henyey_diffusivity(lat))
+    elif name == "simple":
+        primary = ConvectiveAdjustmentVerticalDiffusivity(kappa_z=1.0, nu_z=1.0)
+        background = VerticalScalarDiffusivity(
+            nu=lambda lat, z: step_nu_simple(z),
+            kappa=lambda lat, z: step_kappa_simple(z))
+    elif name in ("rbvd", "nori"):
+        # :nori — NORi Richardson closure; treated as an RiBased variant of
+        # the same shape (the reference's nori_base_closure.jl is missing
+        # from its own tree — SURVEY.md §2a "Missing-but-referenced")
+        primary = RiBasedVerticalDiffusivity()
+        background = VerticalScalarDiffusivity(
+            nu=1e-4, kappa=lambda lat, z: henyey_diffusivity(lat))
+    elif name == "kpp":
+        primary, background = KPPVerticalDiffusivity(), None
+    elif name == "nemo_tke":
+        primary, background = NEMOTKEVerticalDiffusivity(), None
+    else:
+        raise ValueError(f"Unknown vertical_closure: {vertical_closure}. "
+                         "Options: catke, simple, nori, rbvd, kpp, nemo_tke")
+
+    horizontal = None
+    if biharmonic_viscosity is not None:
+        horizontal = HorizontalScalarBiharmonicDiffusivity(nu=biharmonic_viscosity)
+    elif biharmonic_timescale is not None:
+        horizontal = HorizontalScalarBiharmonicDiffusivity(
+            timescale=biharmonic_timescale)
+
+    return tuple(c for c in (primary, horizontal, background) if c is not None)
+
+
+def atmosphere_ocean_flux_solver(flux_configuration="default"):
+    """Reference flux configurations (`omip_simulation.jl:40-113,123-164`)."""
+    name = str(flux_configuration).lstrip(":")
+    if name in ("default", "corrected"):
+        # COARE-3.6-consistent: wind-dependent Charnock, COARE log profile,
+        # minimum gustiness 0.5 m/s, T-dependent air viscosity
+        return SimilarityTheoryFluxes(minimum_gustiness=0.5)
+    if name == "ncar":
+        # Large & Yeager coefficient-based, FixedIterations(5)
+        return CoefficientBasedFluxes(iterations=5)
+    raise ValueError(f"Unknown flux_configuration: {flux_configuration}")
+
+
+def omip_forcing(grid, start_time=0.0, end_time=10 * days):
+    """Reference `omip_forcing` (`atmosphere.jl:13-49`): JRA55-do
+    atmosphere + radiation (+ land runoff folded into the precip proxy).
+    File-backed JRA55 slots in behind the same PrescribedAtmosphere window;
+    zero-egress default is the analytic proxy at the JRA55 3-hour cadence."""
+    return synthetic_prescribed_atmosphere(grid, start_time, end_time)
+
+
+_CONFIG_BUILDERS = {
+    "latlon": lambda **kw: latitude_longitude_ocean(
+        **{"resolution": 1.0, **kw}),
+    "onedegree": tri.one_degree_tripolar_ocean,
+    "halfdegree": tri.half_degree_tripolar_ocean,
+    "sixthdegree": tri.sixth_degree_tripolar_ocean,
+    "tenthdegree": tri.tenth_degree_tripolar_ocean,
+}
+
+
+def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
+                    stop_iteration=None, vertical_closure="catke",
+                    flux_configuration="default", with_sea_ice=True,
+                    sea_ice_dynamics=True, normalize_salinity=True,
+                    diagnostics=True, output_dir="output",
+                    forcing_end_time=None, progress_interval=10,
+                    Nz=None, **config_kw):
+    """Reference `omip_simulation` (`omip_simulation.jl:292-403`): build the
+    coupled OMIP simulation for a named grid configuration. Returns a
+    `Simulation` with progress (+STATE_HASH) callback and, when
+    ``diagnostics=True``, the OMIP writers attached."""
+    import jax.numpy as jnp
+
+    name = str(config).lstrip(":")
+    builder = _CONFIG_BUILDERS[name]
+    kw = dict(config_kw)
+    if Nz is not None:
+        kw["Nz"] = Nz
+    kw["closure"] = omip_closure(vertical_closure)
+    ocean_model, ocean_state = builder(**kw)
+    grid = ocean_model.grid
+
+    sea_ice = None
+    if with_sea_ice:
+        sea_ice = SeaIceModel(grid=grid, dynamics=sea_ice_dynamics,
+                              atmosphere_fluxes=default_ice_atmosphere_fluxes())
+
+    atmos = omip_forcing(grid, 0.0,
+                         forcing_end_time or (stop_time or 30 * days) + days)
+    model = OceanSeaIceModel(
+        ocean=ocean_model, atmosphere=atmos, sea_ice=sea_ice,
+        atmosphere_ocean_fluxes=atmosphere_ocean_flux_solver(flux_configuration))
+
+    state = model.initial_state()
+    state["ocean"] = ocean_state
+    if with_sea_ice:
+        from ..data.metadata import ECCO4Monthly, Metadatum, set_fields
+        state["sea_ice"] = set_fields(
+            state["sea_ice"], grid,
+            thickness=Metadatum("sea_ice_thickness", dataset=ECCO4Monthly()),
+            concentration=Metadatum("sea_ice_concentration", dataset=ECCO4Monthly()))
+
+    step = make_coupled_step_fn(model, donate=False)
+    sim = Simulation(lambda s, t, d: step(s, t, d), state, dt=dt,
+                     stop_time=stop_time, stop_iteration=stop_iteration)
+
+    if normalize_salinity:
+        sim.add_callback(salinity_normalizer(grid), IterationInterval(1),
+                         name="normalize_salinity")
+    sim.add_callback(omip_progress_callback(grid),
+                     IterationInterval(progress_interval), name="progress")
+    if diagnostics:
+        add_omip_diagnostics(sim, grid, dir=output_dir)
+    sim.model = model
+    return sim
+
+
+def salinity_normalizer(grid):
+    """Reference `NormalizeSalinity` (`omip_simulation.jl:182-220`): subtract
+    the global wet-area mean of the surface salinity flux each iteration so
+    the global salt budget closes. Operates on the net-flux diagnostics
+    carried in the coupled state; the correction is applied to the next
+    step by storing an offset the coupler subtracts."""
+    import jax
+    import jax.numpy as jnp
+
+    wet2 = grid.wet_c[-1]
+    area = jnp.sum(grid.az_cc * wet2)
+
+    @jax.jit
+    def mean_flux(QS):
+        return jnp.sum(QS * grid.az_cc * wet2) / area
+
+    def cb(sim):
+        nf = sim.state.get("net_fluxes")
+        if nf is None:
+            return
+        mean = mean_flux(nf["Q_S"])
+        sim.state["salinity_flux_offset"] = mean
+
+    return cb
+
+
+def omip_progress_callback(grid, hash_iterations=(1, 5, 100, 1000)):
+    """Reference `omip_progress_callback` (`omip_simulation.jl:644-691`):
+    ice h/ℵ maxima, T/S extrema, velocity maxima, wall time — plus the
+    STATE_HASH determinism probe at fixed iterations (compare two
+    pickup-from-same-checkpoint runs to bisect nondeterminism)."""
+    import jax.numpy as jnp
+
+    wall = {"t": _time.time()}
+
+    def cb(sim):
+        s = sim.state
+        ocean = s["ocean"]
+        msgs = [f"time: {prettytime(sim.time)}", f"iteration: {sim.iteration}",
+                f"Δt: {prettytime(sim.dt)}"]
+        if "sea_ice" in s and s["sea_ice"] is not None:
+            ice = s["sea_ice"]
+            msgs.append(f"max(h): {float(jnp.max(ice['thickness'])):.2e} m")
+            msgs.append(f"max(ℵ): {float(jnp.max(ice['concentration'])):.2e}")
+        msgs.append(f"extrema(T): ({float(jnp.min(ocean['T'])):.2f}, "
+                    f"{float(jnp.max(ocean['T'])):.2f}) °C")
+        msgs.append(f"extrema(S): ({float(jnp.min(ocean['S'])):.2f}, "
+                    f"{float(jnp.max(ocean['S'])):.2f})")
+        msgs.append(f"max|u|: {float(jnp.max(jnp.abs(ocean['u']))):.2e}")
+        msgs.append(f"max|v|: {float(jnp.max(jnp.abs(ocean['v']))):.2e}")
+        now = _time.time()
+        msgs.append(f"wall time: {prettytime(now - wall['t'])}")
+        wall["t"] = now
+        print(", ".join(msgs), flush=True)
+
+        if sim.iteration in hash_iterations:
+            hashes = []
+            for name, arr in (("T", ocean["T"]), ("S", ocean["S"]),
+                              ("u", ocean["u"])):
+                h = hashlib.sha256(np.asarray(arr).tobytes()).hexdigest()[:16]
+                hashes.append(f"{name}={h}")
+            if "sea_ice" in s and s["sea_ice"] is not None:
+                h = hashlib.sha256(
+                    np.asarray(s["sea_ice"]["thickness"]).tobytes()).hexdigest()[:16]
+                hashes.append(f"h={h}")
+            print(f"STATE_HASH iter={sim.iteration}  " + "  ".join(hashes),
+                  flush=True)
+
+    return cb

@@ -52,7 +52,10 @@ class OceanSeaIceModel:
     ocean_minimum_salinity: float = 1.0         # omip_simulation.jl:132
 
     def initial_state(self, **kw):
-        state = {"ocean": self.ocean.initial_state(**kw)}
+        state = {"ocean": self.ocean.initial_state(**kw),
+                 # global-mean surface salinity-flux correction, maintained by
+                 # the OMIP `salinity_normalizer` callback (omip_simulation.jl:182)
+                 "salinity_flux_offset": jnp.zeros(())}
         if self.sea_ice is not None:
             state["sea_ice"] = self.sea_ice.initial_state()
         return state
@@ -103,6 +106,9 @@ def coupled_step(model, state, t, dt):
     atmos = model.atmosphere.at_time(t)
     ocean_state = state["ocean"]
     fluxes, diags = atmosphere_ocean_fluxes(model, atmos, ocean_state)
+    offset = state.get("salinity_flux_offset")
+    if offset is not None:
+        fluxes = fluxes._replace(Q_S=fluxes.Q_S - offset)
 
     new_state = dict(state)
     if model.sea_ice is not None:

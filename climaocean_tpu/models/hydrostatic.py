@@ -148,7 +148,8 @@ def closure_aux(model, state, fluxes):
     beta = eos_mod.haline_contraction(state["S"][-1], state["T"][-1], z0)
     Qb = model.g * (alpha * (fluxes.Q_T + fluxes.Q_sw) - beta * fluxes.Q_S)
 
-    return ClosureAux(b=b, N2=N2, S2=S2, u_star=u_star, Qb=Qb), b
+    return ClosureAux(b=b, N2=N2, S2=S2, u_star=u_star, Qb=Qb,
+                      fluxes=fluxes, alpha=alpha, beta=beta), b
 
 
 def shortwave_tendency(Q_sw, grid):

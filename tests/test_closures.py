@@ -1,0 +1,100 @@
+"""Closure physics tests: KPP, NEMO-TKE, omip_closure selector."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climaocean_tpu.closures.kpp import KPPVerticalDiffusivity
+from climaocean_tpu.closures.nemo_tke import NEMOTKEVerticalDiffusivity
+from climaocean_tpu.grids.grid import latitude_longitude_grid
+from climaocean_tpu.models import hydrostatic as hm
+from climaocean_tpu.models.hydrostatic import HydrostaticModel, SurfaceFluxes
+
+
+def column_setup(closure, mixed_layer=None):
+    grid = latitude_longitude_grid((8, 6, 20), longitude=(-180, 180),
+                                   latitude=(42, 48), z=(-400.0, 0.0), halo=4)
+    model = HydrostaticModel(grid=grid, closures=(closure,), substeps=4)
+    state = model.initial_state()
+    zc = np.asarray(grid.z_c)
+    T = 20.0 + 0.01 * (zc + 400.0)
+    if mixed_layer:
+        T[zc > -mixed_layer] = T[zc > -mixed_layer].max()
+    state["T"] = state["T"] * 0 + jnp.asarray(T.astype(np.float32))[:, None, None]
+    return grid, model, state
+
+
+def test_kpp_regimes():
+    kpp = KPPVerticalDiffusivity()
+    grid, model, state = column_setup(kpp, mixed_layer=50.0)
+    H = grid.H
+    f0 = SurfaceFluxes.zeros(grid)
+    QT = -500.0 / (1020.0 * 3991.0)
+
+    @jax.jit
+    def compute(fluxes):
+        G, aux, st = hm.tendencies(model, state, fluxes)
+        u_star, Bo, J = kpp._surface_forcing(grid, aux)
+        hbl = kpp._boundary_layer_depth(grid, st, aux, u_star, Bo, J)
+        nu, kap, gam = kpp._compute(grid, st, aux)
+        return hbl[H + 3, H + 4], kap[:, H + 3, H + 4], gam[:, H + 3, H + 4]
+
+    # convective: hbl tracks the mixed layer, nonlocal transport active
+    hbl, kap, gam = compute(f0._replace(
+        Q_T=jnp.full((grid.Nyp, grid.Nxp), QT, jnp.float32)))
+    assert 15.0 < float(hbl) < 70.0   # tracks the 50 m ML at 20 m resolution
+    assert float(kap.max()) > 0.01
+    assert 0.0 < float(gam.max()) <= 100.0
+
+    # stable (heating + wind): Monin-Obukhov clamp makes hbl shallow, γ = 0
+    hbl_s, _, gam_s = compute(f0._replace(
+        tau_x=jnp.full((grid.Nyp, grid.Nxp), 1e-4, jnp.float32),
+        Q_T=jnp.full((grid.Nyp, grid.Nxp), -QT, jnp.float32)))
+    assert float(hbl_s) < float(hbl)
+    assert float(gam_s.max()) == 0.0
+
+
+def test_kpp_interior_matches_mitgcm_structure():
+    """Interior diffusivity: IW background when stratified+quiescent."""
+    kpp = KPPVerticalDiffusivity()
+    grid, model, state = column_setup(kpp)
+    f0 = SurfaceFluxes.zeros(grid)
+    G, aux, st = jax.jit(lambda s: hm.tendencies(model, s, f0))(state)
+    nu, kap = kpp._interior(grid, aux)
+    H = grid.H
+    # mid-column faces: stratified, no shear -> background IW values
+    np.testing.assert_allclose(float(nu[10, H + 3, H + 4]), 5e-5, rtol=1e-3)
+    np.testing.assert_allclose(float(kap[10, H + 3, H + 4]), 5e-6, rtol=1e-3)
+
+
+def test_nemo_tke_surface_bc_and_floors():
+    tke = NEMOTKEVerticalDiffusivity()
+    grid, model, state = column_setup(tke)
+    H = grid.H
+    assert "e" in state and "ell" in state
+    fluxes = SurfaceFluxes.zeros(grid)._replace(
+        tau_x=jnp.full((grid.Nyp, grid.Nxp), 2e-4, jnp.float32))
+    step = jax.jit(lambda s: hm.step(model, s, fluxes, 1800.0))
+    s = state
+    for _ in range(4):
+        s = step(s)
+    e_surf = float(s["e"][-1, H + 3, H + 4])
+    # Dirichlet surface BC: e = max(rn_emin0, rn_ebb u*^2) = 3.75*2e-4
+    np.testing.assert_allclose(e_surf, 3.75 * 2e-4, rtol=1e-5)
+    assert float(s["e"].min()) >= tke.minimum_TKE * 0.99
+    # diffusivity floors
+    G, aux, st = hm.tendencies(model, s, fluxes)
+    Km, Kr = tke.diffusivities(grid, st, aux)
+    wet = np.asarray(grid.wet_w[1:-1]) > 0
+    assert float(np.asarray(Km[1:-1])[wet].min()) >= tke.nu_bg * 0.99
+    assert float(np.asarray(Kr[1:-1])[wet].min()) >= tke.kappa_bg * 0.99
+
+
+def test_omip_closure_selector():
+    from climaocean_tpu.configurations.omip import omip_closure
+    for name in ("catke", "simple", "rbvd", "nori", "kpp", "nemo_tke"):
+        closures = omip_closure(name)
+        assert len(closures) >= 1
+    import pytest
+    with pytest.raises(ValueError):
+        omip_closure("bogus")
