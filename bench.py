@@ -75,18 +75,18 @@ def main():
     state["ocean"]["T"] = jnp.asarray(Tp)
     state["ocean"]["S"] = jnp.asarray(Sp)
 
-    step = make_coupled_step_fn(model, donate=True)
+    # multi-step scan: one dispatch per `nsteps` — amortizes the host->TPU
+    # dispatch latency exactly as a production run loop would
+    from climaocean_tpu.models.coupled import make_multi_step_fn
+    step = make_multi_step_fn(model, nsteps, donate=True)
 
     # warmup / compile
     t = 6 * 3600.0
     state = step(state, t, dt)
     jax.block_until_ready(state)
-    state = step(state, t + dt, dt)
-    jax.block_until_ready(state)
 
     t0 = time.perf_counter()
-    for i in range(nsteps):
-        state = step(state, t + (2 + i) * dt, dt)
+    state = step(state, t + nsteps * dt, dt)
     jax.block_until_ready(state)
     elapsed = (time.perf_counter() - t0) / nsteps
 

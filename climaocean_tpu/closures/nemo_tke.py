@@ -202,7 +202,7 @@ class NEMOTKEVerticalDiffusivity:
         dz_above = jnp.concatenate([dz[1:], dz[-1:]], axis=0)
         _, ell_d = jax.lax.scan(down, ell[-1],
                                 (ell[:-1], dz_above[:-1], wet_pair_dn[:-1]),
-                                reverse=True)
+                                reverse=True, unroll=min(Nz - 1, 8))
         ell = jnp.concatenate([ell_d, ell[-1:]], axis=0)
 
         wet_pair_up = wet * jnp.concatenate([wet[:1], wet[:-1]], axis=0)

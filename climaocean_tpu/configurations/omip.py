@@ -69,6 +69,12 @@ def omip_closure(vertical_closure="catke", kappa_skew=500.0,
         raise ValueError(f"Unknown vertical_closure: {vertical_closure}. "
                          "Options: catke, simple, nori, rbvd, kpp, nemo_tke")
 
+    eddy = None
+    if kappa_skew is not None and kappa_symmetric is not None:
+        from ..closures.gm_redi import IsopycnalSkewSymmetricDiffusivity
+        eddy = IsopycnalSkewSymmetricDiffusivity(kappa_skew=kappa_skew,
+                                                 kappa_symmetric=kappa_symmetric)
+
     horizontal = None
     if biharmonic_viscosity is not None:
         horizontal = HorizontalScalarBiharmonicDiffusivity(nu=biharmonic_viscosity)
@@ -76,7 +82,8 @@ def omip_closure(vertical_closure="catke", kappa_skew=500.0,
         horizontal = HorizontalScalarBiharmonicDiffusivity(
             timescale=biharmonic_timescale)
 
-    return tuple(c for c in (primary, horizontal, background) if c is not None)
+    return tuple(c for c in (primary, eddy, horizontal, background)
+                 if c is not None)
 
 
 def atmosphere_ocean_flux_solver(flux_configuration="default"):

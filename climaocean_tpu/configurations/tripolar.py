@@ -42,8 +42,9 @@ from .ocean import ocean_simulation, vertical_coordinate
 def _tripolar_closure(biharmonic_timescale, kappa_skew=None, kappa_symmetric=None):
     closures = [CATKEVerticalDiffusivity()]
     if kappa_skew is not None:
-        warnings.warn("GM/Redi (IsopycnalSkewSymmetricDiffusivity) not yet "
-                      "implemented; skew/symmetric diffusivities ignored")
+        from ..closures.gm_redi import IsopycnalSkewSymmetricDiffusivity
+        closures.append(IsopycnalSkewSymmetricDiffusivity(
+            kappa_skew=kappa_skew, kappa_symmetric=kappa_symmetric or 0.0))
     if biharmonic_timescale is not None:
         closures.append(HorizontalScalarBiharmonicDiffusivity(
             timescale=biharmonic_timescale))

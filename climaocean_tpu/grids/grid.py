@@ -381,6 +381,16 @@ def with_bottom_height(grid: Grid, bottom_interior, minimum_depth: float = 0.0) 
     hb_p = np.full((grid.Nyp, grid.Nxp), 1.0)   # land in halos by default
     H = grid.H
     hb_p[H:H + grid.Ny, H:H + grid.Nx] = hb
+    if grid.kind.startswith("tripolar"):
+        # Force near-pole cells dry regardless of the bathymetry: cells
+        # shrink without bound approaching the grid poles, and a real
+        # tripolar mesh guarantees its poles sit on land. Metric-based
+        # criterion: dry wherever dx or dy < 15% of the interior median.
+        dx = np.asarray(grid.dx_cc)
+        dy = np.asarray(grid.dy_cc)
+        med = np.median(dx[H:H + grid.Ny, H:H + grid.Nx])
+        tiny = (dx < 0.15 * med) | (dy < 0.15 * med)
+        hb_p[tiny[: hb_p.shape[0], : hb_p.shape[1]]] = 0.0
     if grid.periodic_x:
         hb_p[:, :H] = hb_p[:, grid.Nx:grid.Nx + H]
         hb_p[:, H + grid.Nx:] = hb_p[:, H:2 * H]

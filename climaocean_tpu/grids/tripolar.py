@@ -87,13 +87,6 @@ def tripolar_grid(size, southernmost_latitude=-80.0, halo=4,
 
     # bipolar cap rows m_joint .. m_top
     r_joint = np.tan(np.deg2rad(90.0 - joint_latitude) / 2.0)
-    v_joint = np.arccosh(max(r_joint / a, 1.0 + 1e-9))
-    n_vrows = m_top - m_joint
-    # Row ladder: linear in sinh(v) (the ellipse semi-minor axis), not in v —
-    # linear-in-v bunches rows quadratically at the seam, shrinking the
-    # near-fold cells ~50x below nominal and wrecking the barotropic CFL.
-    s_joint = np.sinh(v_joint)
-    v_ladder = np.arcsinh(s_joint * (1.0 - np.arange(n_vrows + 1) / n_vrows))
 
     lamp_r = np.deg2rad(lam_ref - first_pole_longitude)
     u = np.pi / 2.0 - lamp_r
@@ -102,8 +95,19 @@ def tripolar_grid(size, southernmost_latitude=-80.0, halo=4,
     u_eff = np.where(branch > 0, u_wrapped, np.pi - u_wrapped)
     u_eff = (u_eff + np.pi) % (2 * np.pi) - np.pi
 
+    # Column-dependent v_joint so the FIRST cap row coincides exactly with
+    # the joint circle (a constant-v ellipse is eccentric relative to the
+    # circle and would fold cells near its minor axis):
+    #   |a sin(u+iv)|² = a²(sin²u + sinh²v) = r_joint²
+    s_joint_col = np.sqrt(np.maximum((r_joint / a) ** 2
+                                     - np.sin(u_eff) ** 2, 1e-12))
+    n_vrows = m_top - m_joint
+    # Ladder linear in sinh(v) per column: uniform row spacing in the
+    # stereographic plane (linear-in-v bunches rows quadratically at the
+    # seam and shrinks near-fold cells ~50x below nominal).
     for k, m in enumerate(range(m_joint, min(m_top + 1, nfy))):
-        zc = a * np.sin(u_eff + 1j * v_ladder[k] * branch)
+        v_col = np.arcsinh(s_joint_col * (1.0 - k / n_vrows))
+        zc = a * np.sin(u_eff + 1j * v_col * branch)
         r = np.abs(zc)
         lat_p[m, :] = np.clip(90.0 - 2.0 * np.rad2deg(np.arctan(r)), -89.95, 89.95)
         lon_p[m, :] = np.rad2deg(np.angle(zc)) + first_pole_longitude

@@ -137,6 +137,30 @@ def coupled_step(model, state, t, dt):
     return new_state
 
 
+def make_multi_step_fn(model, n_steps, donate=True):
+    """Jitted ``(state, t0, dt) -> state`` advancing ``n_steps`` coupled
+    steps in one dispatch via `lax.scan` — amortizes host dispatch latency
+    (large over the tunneled-TPU transport) and lets XLA overlap steps."""
+    def multi(model, state, t0, dt):
+        # first step outside the scan: it adds the net-flux diagnostics to
+        # the state, and the scan carry must have a fixed structure
+        state = coupled_step(model, state, t0, dt)
+
+        def body(s, i):
+            return coupled_step(model, s, t0 + i * dt, dt), None
+
+        out, _ = jax.lax.scan(body, state,
+                              jnp.arange(1, n_steps, dtype=jnp.float32))
+        return out
+
+    jitted = jax.jit(multi, donate_argnums=(1,) if donate else ())
+
+    def f(state, t0, dt):
+        return jitted(model, state, t0, dt)
+
+    return f
+
+
 def make_coupled_step_fn(model, donate=True):
     """Jitted ``(state, t, dt) -> state``. The model pytree is passed as an
     argument on every call (arrays already live on device — this is free)

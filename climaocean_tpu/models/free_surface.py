@@ -55,7 +55,22 @@ def substep_barotropic(bt: BarotropicState, grid, GU, GV, dt_stage,
     """Integrate the barotropic system over an extended window 2·dt_stage
     with ``substeps`` forward-backward steps; return the window-averaged
     state (and the final instantaneous state for the next stage).
+
+    Fast path (non-folded grids): the substep loop runs on UNPADDED interior
+    arrays — `jnp.roll` IS the periodic-x exchange, and the bounded-y wrap
+    reads wall faces that the masks zero anyway — so no halo fills are
+    needed inside the loop (~half the per-substep ops). Tripolar grids keep
+    the padded path: the fold exchange is genuinely needed each substep.
     """
+    if not grid.kind.startswith("tripolar"):
+        return _substep_barotropic_unpadded(bt, grid, GU, GV, dt_stage,
+                                            substeps, g)
+    return _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
+                                      fill_halos_2d, g, fill_U, fill_V)
+
+
+def _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
+                               fill_halos_2d, g, fill_U=None, fill_V=None):
     H_c, H_u, H_v = column_depths(grid)
     wet2_u = (H_u > 0).astype(bt.U.dtype)
     wet2_v = (H_v > 0).astype(bt.V.dtype)
@@ -87,6 +102,53 @@ def substep_barotropic(bt: BarotropicState, grid, GU, GV, dt_stage,
 
     averaged = BarotropicState(eta_a, U_a, V_a)
     final = BarotropicState(eta, U, V)
+    return averaged, final
+
+
+def _substep_barotropic_unpadded(bt, grid, GU, GV, dt_stage, substeps, g):
+    H = grid.H
+
+    def cut(a):
+        return a[..., H:H + grid.Ny, H:H + grid.Nx]
+
+    H_c, H_u, H_v = column_depths(grid)
+    wet2_u = cut((H_u > 0).astype(bt.U.dtype))
+    wet2_v = cut((H_v > 0).astype(bt.V.dtype))
+    wet2_c = cut((H_c > 0).astype(bt.eta.dtype))
+    Hu = cut(H_u)
+    Hv = cut(H_v)
+    dyfc = cut(grid.dy_fc)
+    dxcf = cut(grid.dx_cf)
+    az = cut(grid.az_cc)
+    dxfc = cut(grid.dx_fc)
+    dycf = cut(grid.dy_cf)
+    GU_i = cut(GU)
+    GV_i = cut(GV)
+
+    M = substeps
+    dtau = 2.0 * dt_stage / M
+    w = 1.0 / M
+
+    def body(carry, _):
+        eta, U, V, eta_a, U_a, V_a = carry
+        div = (dxc(dyfc * U) + dyc(dxcf * V)) / az
+        eta = (eta - dtau * div) * wet2_c
+        U = (U + dtau * (-g * Hu * dxf(eta) / dxfc + GU_i)) * wet2_u
+        V = (V + dtau * (-g * Hv * dyf(eta) / dycf + GV_i)) * wet2_v
+        return (eta, U, V, eta_a + w * eta, U_a + w * U, V_a + w * V), None
+
+    e0, U0, V0 = cut(bt.eta), cut(bt.U), cut(bt.V)
+    z = jnp.zeros_like(e0)
+    init = (e0, U0, V0, z, jnp.zeros_like(U0), jnp.zeros_like(V0))
+    (eta, U, V, eta_a, U_a, V_a), _ = jax.lax.scan(body, init, None, length=M)
+
+    def embed(a, like):
+        return jnp.zeros_like(like).at[..., H:H + grid.Ny, H:H + grid.Nx].set(a)
+
+    averaged = BarotropicState(embed(eta_a, bt.eta), embed(U_a, bt.U),
+                               embed(V_a, bt.V))
+    final = BarotropicState(embed(eta, bt.eta), embed(U, bt.U),
+                            embed(V, bt.V))
     return averaged, final
 
 

@@ -63,7 +63,8 @@ SW_SCALE2 = 23.0     # m
 @partial(jax.tree_util.register_dataclass,
          data_fields=["grid", "closures"],
          meta_fields=["momentum_scheme", "momentum_order", "tracer_order",
-                      "eos", "substeps", "g", "rotation_rate", "rk3_gammas"])
+                      "eos", "substeps", "g", "rotation_rate", "rk3_gammas",
+                      "stage_mode"])
 @dataclass(frozen=True)
 class HydrostaticModel:
     """Model configuration. Registered as a pytree so the grid's metric and
@@ -81,6 +82,11 @@ class HydrostaticModel:
     g: float = G_EARTH
     rotation_rate: float = 7.292115e-5
     rk3_gammas: tuple = (1.0 / 3.0, 1.0 / 2.0, 1.0)
+    # "scan": one stage graph via lax.scan with equal substeps — 3x smaller
+    # HLO, faster compile, and MEASURED FASTER execution on the v5e target
+    # (the compiler penalizes larger programs; the unrolled variant with
+    # prorated substeps ran 1.8x slower despite 40% less 2-D work).
+    stage_mode: str = "scan"
 
     def initial_state(self, T=None, S=None):
         grid = self.grid
@@ -286,12 +292,18 @@ def step(model, state, fluxes, dt):
     `omip_simulation.jl:604`): u¹ = uⁿ + Δt/3 G(uⁿ); u² = uⁿ + Δt/2 G(u¹);
     uⁿ⁺¹ = uⁿ + Δt G(u²).
 
-    The three stages run as a `lax.scan` over the stage coefficients so the
-    (large) tendency graph appears ONCE in the compiled HLO — the serialized
-    program must fit the remote-compile transport, and 3 inlined copies of
-    the WENO stencils do not. Each stage runs the same (static) number of
-    barotropic substeps; early stages simply use a smaller δτ, which only
-    helps stability."""
+    stage_mode="unrolled": stages unroll in Python with per-stage prorated
+    barotropic substeps ceil(γ·substeps) like the reference (~40% less 2-D
+    substep work). stage_mode="scan": one stage graph via `lax.scan` with
+    equal substeps — 3x smaller serialized HLO (remote-compile limits) and
+    faster compiles."""
+    if model.stage_mode == "unrolled":
+        s = state
+        for gamma in model.rk3_gammas:
+            nsub = max(4, int(-(-model.substeps * gamma // 1)))
+            s = rk3_substage(model, state, s, fluxes, gamma * dt, nsub)
+        return s
+
     gammas = jnp.asarray(model.rk3_gammas, dtype=state["eta"].dtype)
 
     def stage_body(s_prev, gamma):

@@ -114,6 +114,27 @@ class Simulation:
         self.running = False
 
 
+def nan_checker(fields=("T", "u")):
+    """Reference NaN-checker callback (SURVEY.md §2b `Simulation` row):
+    abort the run with a clear message when a prognostic goes non-finite."""
+    import jax
+    import jax.numpy as jnp
+
+    def cb(sim):
+        s = sim.state
+        ocean = s.get("ocean", s) if isinstance(s, dict) else s
+        for name in fields:
+            if isinstance(ocean, dict) and name in ocean:
+                if not bool(jnp.isfinite(ocean[name]).all()):
+                    sim.running = False
+                    sim.stop_iteration = sim.iteration
+                    raise FloatingPointError(
+                        f"NaN/Inf in '{name}' at iteration {sim.iteration}, "
+                        f"t = {sim.time}")
+
+    return cb
+
+
 def progress_callback(fields=("T", "S", "u", "v"), sea_ice_fields=()):
     """Reference `Progress` (`src/ClimaOcean.jl:48-88`): wall time per
     interval, time/iter/Δt, tracer extrema, velocity maxima. Device
