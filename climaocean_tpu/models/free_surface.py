@@ -56,13 +56,15 @@ def substep_barotropic(bt: BarotropicState, grid, GU, GV, dt_stage,
     with ``substeps`` forward-backward steps; return the window-averaged
     state (and the final instantaneous state for the next stage).
 
-    Fast path (non-folded grids): the substep loop runs on UNPADDED interior
-    arrays — `jnp.roll` IS the periodic-x exchange, and the bounded-y wrap
-    reads wall faces that the masks zero anyway — so no halo fills are
-    needed inside the loop (~half the per-substep ops). Tripolar grids keep
-    the padded path: the fold exchange is genuinely needed each substep.
+    An unpadded fast path exists for non-folded grids (`jnp.roll` IS the
+    periodic-x exchange; bounded-y wraps read zero-masked wall faces) but
+    measured SLOWER end-to-end on the v5e target despite fewer ops, so it
+    is opt-in via CLIMAOCEAN_UNPADDED_BAROTROPIC=1. Tripolar grids always
+    use the padded path (the fold exchange is needed every substep).
     """
-    if not grid.kind.startswith("tripolar"):
+    import os
+    if (not grid.kind.startswith("tripolar")
+            and os.environ.get("CLIMAOCEAN_UNPADDED_BAROTROPIC")):
         return _substep_barotropic_unpadded(bt, grid, GU, GV, dt_stage,
                                             substeps, g)
     return _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
