@@ -13,9 +13,25 @@ collective-permutes over ICI; the numerics only ever call `fill_halos`.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax.numpy as jnp
 
 from ..grids.grid import Grid
+
+# Overridable halo implementation: the shard_map path installs a
+# ppermute-based exchange here for the duration of its (synchronous) trace.
+_halo_override = contextvars.ContextVar("halo_override", default=None)
+
+
+@contextlib.contextmanager
+def halo_override(fn):
+    token = _halo_override.set(fn)
+    try:
+        yield
+    finally:
+        _halo_override.reset(token)
 
 
 def fill_halos(a: jnp.ndarray, grid: Grid, location: str = "c",
@@ -26,6 +42,9 @@ def fill_halos(a: jnp.ndarray, grid: Grid, location: str = "c",
     only for folded (tripolar) grids. ``vector=True`` flips the sign across
     the fold.
     """
+    override = _halo_override.get()
+    if override is not None:
+        return override(a, grid, location, vector)
     if grid.kind.startswith("tripolar"):
         from ..grids.tripolar import fill_halos_tripolar
         return fill_halos_tripolar(a, grid, location,

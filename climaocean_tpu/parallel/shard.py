@@ -1,0 +1,236 @@
+"""Explicit shard_map domain decomposition with ppermute halo exchange.
+
+The north-star distribution strategy (BASELINE.json: "halo exchange as ICI
+collectives under shard_map"; reference equivalent: Oceananigans
+`Distributed(arch; partition=Partition(Rx, Ry))` MPI halo exchange,
+SURVEY.md §2d item 1).
+
+Layout: every rank owns a LOCAL padded tile ``(Nz, ny_loc + 2H, nx_loc +
+2H)`` — the single-device halo-carrying layout, replicated per device and
+stacked on a leading device axis that `shard_map` splits. The numerics are
+unchanged (roll-based stencils are interior-correct within a tile);
+`halo_exchange` replaces the single-device `fill_halos`: one
+`lax.ppermute` pair per direction moves H-wide edge strips to neighbor
+halos over ICI. Physical boundaries keep their single-device treatment:
+bounded-direction global halos stay dry in the masks, and the exchanged
+strip that wraps around the ring at a physical edge is overwritten by the
+local zero-gradient fill.
+
+Decomposition: mesh axes ('y', 'x') with Py × Px = n_devices; the global
+interior (Ny, Nx) must divide evenly (pad the grid otherwise).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..grids import grid as gridmod
+
+
+# --------------------------------------------------------------------------
+# partitioning: global padded arrays -> stacked local tiles
+# --------------------------------------------------------------------------
+
+def _tile_slices(N, parts, H):
+    """Global padded index ranges (including each tile's halos) per part."""
+    n_loc = N // parts
+    return [(p * n_loc, p * n_loc + n_loc + 2 * H) for p in range(parts)]
+
+
+def partition_array(a, grid, py, px):
+    """Split a global padded field into a (py*px, ..., ny_loc+2H, nx_loc+2H)
+    stack (device-major: y outer, x inner)."""
+    H = grid.H
+    ys = _tile_slices(grid.Ny, py, H)
+    xs = _tile_slices(grid.Nx, px, H)
+    tiles = []
+    for y0, y1 in ys:
+        for x0, x1 in xs:
+            tiles.append(a[..., y0:y1, x0:x1])
+    return jnp.stack(tiles)
+
+
+def unpartition_array(stack, grid, py, px):
+    """Inverse of partition_array (interior union; halos from tile data)."""
+    H = grid.H
+    ny_loc = grid.Ny // py
+    nx_loc = grid.Nx // px
+    out = None
+    idx = 0
+    rows = []
+    for j in range(py):
+        cols = []
+        for i in range(px):
+            t = stack[idx]
+            cols.append(t[..., H:H + ny_loc, H:H + nx_loc])
+            idx += 1
+        rows.append(jnp.concatenate(cols, axis=-1))
+    interior = jnp.concatenate(rows, axis=-2)
+    pad = [(0, 0)] * (interior.ndim - 2) + [(H, H), (H, H)]
+    return jnp.pad(interior, pad)
+
+
+def partition_tree(tree, grid, py, px):
+    def f(a):
+        if hasattr(a, "ndim") and a.ndim >= 2 and a.shape[-1] == grid.Nxp:
+            return partition_array(a, grid, py, px)
+        return a
+    return jax.tree_util.tree_map(f, tree)
+
+
+def local_grid(grid, py, px):
+    """A Grid pytree whose 2-D/3-D arrays are stacked local tiles. The
+    static metadata describes the LOCAL tile (the numerics only use Nx/Ny
+    via halo fills, which shard.halo_exchange replaces)."""
+    import dataclasses
+    parts = partition_tree(
+        {f.name: getattr(grid, f.name) for f in dataclasses.fields(grid)
+         if f.name not in ("Nx", "Ny", "Nz", "H", "periodic_x", "periodic_y",
+                           "kind")},
+        grid, py, px)
+    return dataclasses.replace(grid, Nx=grid.Nx // px, Ny=grid.Ny // py,
+                               **parts)
+
+
+# --------------------------------------------------------------------------
+# halo exchange inside shard_map
+# --------------------------------------------------------------------------
+
+def halo_exchange(a, H, mesh_axes=("y", "x"), periodic_x=True,
+                  periodic_y=False):
+    """Exchange H-wide halo strips with mesh neighbors via ppermute.
+
+    ``a``: local padded tile (..., ny+2H, nx+2H) inside shard_map.
+    x exchange runs first, then y INCLUDING the x-halos, so corner halos are
+    correct after two passes.
+    """
+    ay, ax = mesh_axes
+
+    def recv_from(vals, axis_name, offset):
+        """Each device receives ``vals`` from device (i + offset);
+        ppermute perm pairs are (source, destination)."""
+        n = jax.lax.axis_size(axis_name)
+        perm = [((i + offset) % n, i) for i in range(n)]
+        return jax.lax.ppermute(vals, axis_name, perm)
+
+    # --- x direction ------------------------------------------------------
+    nx = a.shape[-1]
+    left_edge = a[..., H:2 * H]               # my left interior edge
+    right_edge = a[..., nx - 2 * H:nx - H]
+    from_left = recv_from(right_edge, ax, -1)   # left neighbor's right edge
+    from_right = recv_from(left_edge, ax, +1)
+    a = a.at[..., :H].set(from_left)
+    a = a.at[..., nx - H:].set(from_right)
+    if not periodic_x:
+        ix = jax.lax.axis_index(ax)
+        npx = jax.lax.axis_size(ax)
+        a = jnp.where(ix == 0,
+                      a.at[..., :H].set(a[..., H:H + 1]), a)
+        a = jnp.where(ix == npx - 1,
+                      a.at[..., nx - H:].set(a[..., nx - H - 1:nx - H]), a)
+
+    # --- y direction (strips include x halos -> corners correct) ----------
+    ny = a.shape[-2]
+    bot_edge = a[..., H:2 * H, :]
+    top_edge = a[..., ny - 2 * H:ny - H, :]
+    from_bot = recv_from(top_edge, ay, -1)    # south neighbor's top edge
+    from_top = recv_from(bot_edge, ay, +1)
+    a = a.at[..., :H, :].set(from_bot)
+    a = a.at[..., ny - H:, :].set(from_top)
+    if not periodic_y:
+        iy = jax.lax.axis_index(ay)
+        npy = jax.lax.axis_size(ay)
+        a = jnp.where(iy == 0,
+                      a.at[..., :H, :].set(a[..., H:H + 1, :]), a)
+        a = jnp.where(iy == npy - 1,
+                      a.at[..., ny - H:, :].set(a[..., ny - H - 1:ny - H, :]),
+                      a)
+    return a
+
+
+# --------------------------------------------------------------------------
+# sharded step
+# --------------------------------------------------------------------------
+
+def _is_stacked(a, nxp_loc):
+    return (hasattr(a, "ndim") and a.ndim >= 3
+            and a.shape[-1] == nxp_loc)
+
+
+def make_sharded_step_fn(model, mesh: Mesh, donate=True):
+    """Jitted ocean step running under `shard_map` with explicit ppermute
+    halo exchange. Returns (step_fn, partition_fn, unpartition_fn):
+
+        state_stacked = partition_fn(state)        # (P, ...) tiles
+        new = step_fn(state_stacked, fluxes_stacked, dt)
+        state = unpartition_fn(new)                # global padded arrays
+
+    Inside the mapped body the model's grid is the shard-local tile and
+    `core.halo.fill_halos` is overridden (via `halo_override`) with the
+    ppermute exchange — so the per-substep barotropic fills, the tendency
+    fills, and every other halo touchpoint ride ICI collectives.
+    """
+    import dataclasses
+
+    from ..utils.compat import shard_map
+
+    from ..core.halo import halo_override
+    from ..models import hydrostatic as hyd
+
+    py, px = mesh.devices.shape
+    grid = model.grid
+    assert grid.Ny % py == 0 and grid.Nx % px == 0, \
+        f"(Ny={grid.Ny}, Nx={grid.Nx}) must divide the mesh {py}x{px}"
+    lgrid_stacked = local_grid(grid, py, px)
+    nxp_loc = grid.Nx // px + 2 * grid.H
+
+    def spec_for(a):
+        return P(("y", "x")) if _is_stacked(a, nxp_loc) else P()
+
+    def sharded_fill(a, g, location="c", vector=False):
+        return halo_exchange(a, g.H, periodic_x=grid.periodic_x,
+                             periodic_y=grid.periodic_y)
+
+    def unstack(tree):
+        return jax.tree_util.tree_map(
+            lambda a: a[0] if _is_stacked(a, nxp_loc) else a, tree)
+
+    def step_local(lgrid_tile, state_tile, fluxes_tile, dt):
+        g = unstack(lgrid_tile)
+        s = unstack(state_tile)
+        f = unstack(fluxes_tile)
+        m = dataclasses.replace(model, grid=g)
+        with halo_override(sharded_fill):
+            out = hyd.step(m, s, f, dt)
+        return jax.tree_util.tree_map(lambda a: a[None], out)
+
+    def run(lgrid_s, state_s, fluxes_s, dt):
+        in_specs = (jax.tree_util.tree_map(spec_for, lgrid_s),
+                    jax.tree_util.tree_map(spec_for, state_s),
+                    jax.tree_util.tree_map(spec_for, fluxes_s),
+                    P())
+        out_specs = jax.tree_util.tree_map(lambda a: P(("y", "x")), state_s)
+        return shard_map(step_local, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs)(
+            lgrid_s, state_s, fluxes_s, dt)
+
+    jitted = jax.jit(run, donate_argnums=(1,) if donate else ())
+
+    def partition(tree):
+        return partition_tree(tree, grid, py, px)
+
+    def unpartition(tree):
+        return jax.tree_util.tree_map(
+            lambda a: unpartition_array(a, grid, py, px)
+            if _is_stacked(a, nxp_loc) else a, tree)
+
+    def step_fn(state_stacked, fluxes_stacked, dt):
+        return jitted(lgrid_stacked, state_stacked, fluxes_stacked, dt)
+
+    return step_fn, partition, unpartition

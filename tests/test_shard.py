@@ -1,0 +1,96 @@
+"""shard_map + ppermute halo-exchange distribution tests (requires the
+faked 8-device CPU mesh from conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 devices")
+
+
+def build():
+    from climaocean_tpu.closures.catke import CATKEVerticalDiffusivity
+    from climaocean_tpu.closures.scalar_diffusivity import VerticalScalarDiffusivity
+    from climaocean_tpu.data.synthetic import (synthetic_bathymetry,
+                                               synthetic_temperature)
+    from climaocean_tpu.grids.grid import latitude_longitude_grid, with_bottom_height
+    from climaocean_tpu.models.hydrostatic import HydrostaticModel, SurfaceFluxes
+
+    grid = latitude_longitude_grid((48, 16, 5), longitude=(-180, 180),
+                                   latitude=(-64, 64), z=(-3000.0, 0.0), halo=4)
+    lon = np.asarray(grid.interior(grid.lon_cc))
+    lat = np.asarray(grid.interior(grid.lat_cc))
+    grid = with_bottom_height(grid, np.minimum(synthetic_bathymetry(lon, lat), -0.1),
+                              minimum_depth=10)
+    model = HydrostaticModel(
+        grid=grid, substeps=8,
+        closures=(CATKEVerticalDiffusivity(),
+                  VerticalScalarDiffusivity(nu=1e-4, kappa=1e-5)))
+    state = model.initial_state()
+    zc = np.asarray(grid.z_c)
+    H = grid.H
+    Tp = np.zeros(grid.padded_shape, np.float32)
+    Tp[:, H:H + 16, H:H + 48] = synthetic_temperature(lon[None], lat[None],
+                                                      zc[:, None, None])
+    state["T"] = jnp.asarray(Tp)
+    tau = (1e-4 * np.cos(np.deg2rad(np.asarray(grid.lat_cc)) * 1.5)).astype(np.float32)
+    fluxes = SurfaceFluxes.zeros(grid)._replace(tau_x=jnp.asarray(tau))
+    return grid, model, state, fluxes
+
+
+def test_halo_exchange_matches_global_fill():
+    from jax.sharding import PartitionSpec as P
+    from climaocean_tpu.core.halo import fill_halos
+    from climaocean_tpu.parallel.mesh import make_mesh
+    from climaocean_tpu.parallel.shard import halo_exchange, partition_array
+
+    from climaocean_tpu.utils.compat import shard_map
+
+    from climaocean_tpu.grids.grid import latitude_longitude_grid
+
+    grid = latitude_longitude_grid((48, 16, 3), longitude=(-180, 180),
+                                   latitude=(-64, 64), z=(-1000.0, 0.0), halo=4)
+    H = grid.H
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(3, grid.Nyp, grid.Nxp)).astype(np.float32))
+    a_true = fill_halos(a, grid)
+    mesh = make_mesh((2, 4))
+    ast = partition_array(a, grid, 2, 4)
+    ex = shard_map(
+        lambda t: halo_exchange(t[0], H, periodic_x=True, periodic_y=False)[None],
+        mesh=mesh, in_specs=P(("y", "x")), out_specs=P(("y", "x")),
+        )(ast)
+    ny_loc, nx_loc = 8, 12
+    idx = 0
+    for j in range(2):
+        for i in range(4):
+            y0, x0 = j * ny_loc, i * nx_loc
+            truth = np.asarray(a_true[:, y0:y0 + ny_loc + 2 * H,
+                                      x0:x0 + nx_loc + 2 * H])
+            np.testing.assert_allclose(np.asarray(ex[idx]), truth, atol=1e-6)
+            idx += 1
+
+
+def test_sharded_step_matches_single_device():
+    from climaocean_tpu.models import hydrostatic as hm
+    from climaocean_tpu.parallel.mesh import make_mesh
+    from climaocean_tpu.parallel.shard import make_sharded_step_fn
+
+    grid, model, state, fluxes = build()
+    step1 = jax.jit(lambda s: hm.step(model, s, fluxes, 900.0))
+    s_ref = step1(step1(state))
+
+    mesh = make_mesh((2, 4))
+    step_s, part, unpart = make_sharded_step_fn(model, mesh, donate=False)
+    s_sh = part(state)
+    f_sh = part(fluxes)
+    s_sh = step_s(step_s(s_sh, f_sh, 900.0), f_sh, 900.0)
+    s_back = unpart(s_sh)
+
+    for k in ("u", "v", "T", "eta"):
+        a = np.asarray(grid.interior(s_ref[k]))
+        b = np.asarray(grid.interior(s_back[k]))
+        scale = max(float(np.abs(a).max()), 1e-10)
+        assert np.abs(a - b).max() / scale < 1e-5, k
