@@ -51,7 +51,7 @@ def default_latlon_closure():
 
 def ocean_simulation(grid, closure=None, momentum_advection="vector_invariant",
                      momentum_order=5, tracer_order=7, free_surface_substeps=70,
-                     timestepper="SplitRungeKutta3", eos=None):
+                     timestepper="SplitRungeKutta3", eos=None, zstar=False):
     """NumericalEarth-`ocean_simulation` equivalent: HydrostaticModel +
     initial state with T/S tracers, TEOS-10 buoyancy, flux-storing surface
     BCs and the CATKE default closure (`default_ocean_closure`)."""
@@ -65,7 +65,8 @@ def ocean_simulation(grid, closure=None, momentum_advection="vector_invariant",
                              momentum_scheme=momentum_advection,
                              momentum_order=momentum_order,
                              tracer_order=tracer_order,
-                             substeps=free_surface_substeps, eos=eos)
+                             substeps=free_surface_substeps, eos=eos,
+                             zstar=zstar)
     return model
 
 
@@ -91,7 +92,8 @@ def latitude_longitude_ocean(resolution=1.0, Nz=60, depth=6000.0,
     model = ocean_simulation(grid, closure=closure or default_latlon_closure(),
                              momentum_advection="vector_invariant",
                              tracer_order=7,
-                             free_surface_substeps=free_surface_substeps)
+                             free_surface_substeps=free_surface_substeps,
+                             zstar=zstar)
     state = model.initial_state()
     if initialize:
         state = set_fields(state, grid,

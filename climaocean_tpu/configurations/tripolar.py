@@ -69,7 +69,7 @@ def _build(Nx, Ny, Nz, depth, halo, substeps, minimum_depth, passes, basins,
                                              kappa_skew, kappa_symmetric),
         momentum_advection="weno_vector_invariant",
         momentum_order=momentum_order, tracer_order=tracer_order,
-        free_surface_substeps=substeps)
+        free_surface_substeps=substeps, zstar=zstar)
     state = model.initial_state()
     if initialize:
         state = set_fields(state, grid,

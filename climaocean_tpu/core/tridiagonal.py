@@ -68,11 +68,12 @@ def implicit_vertical_diffusion_matrix(kappa_w, dz_c, dz_f, dt, wet_c, wet_w):
     ----------
     kappa_w : (Nz+1, Ny, Nx) diffusivity at w-faces (face 0 and Nz unused —
         no-flux boundaries are enforced via ``wet_w``).
-    dz_c : (Nz,) cell thickness;  dz_f : (Nz+1,) face spacing.
+    dz_c : (Nz,) cell thickness (or 3-D for moving z★ coordinates);
+    dz_f : (Nz+1,) face spacing (or 3-D).
     wet_c, wet_w : wet masks; dry rows become identity.
     """
-    dzc = dz_c[:, None, None]
-    dzf = dz_f[:, None, None]
+    dzc = dz_c[:, None, None] if dz_c.ndim == 1 else dz_c
+    dzf = dz_f[:, None, None] if dz_f.ndim == 1 else dz_f
     kw = kappa_w * wet_w                       # zero flux through dry faces
     lam_lo = dt * kw[:-1] / (dzc * dzf[:-1])   # couples x[k-1]
     lam_hi = dt * kw[1:] / (dzc * dzf[1:])     # couples x[k+1]

@@ -64,7 +64,7 @@ SW_SCALE2 = 23.0     # m
          data_fields=["grid", "closures"],
          meta_fields=["momentum_scheme", "momentum_order", "tracer_order",
                       "eos", "substeps", "g", "rotation_rate", "rk3_gammas",
-                      "stage_mode"])
+                      "stage_mode", "zstar"])
 @dataclass(frozen=True)
 class HydrostaticModel:
     """Model configuration. Registered as a pytree so the grid's metric and
@@ -87,6 +87,13 @@ class HydrostaticModel:
     # (the compiler penalizes larger programs; the unrolled variant with
     # prorated substeps ran 1.8x slower despite 40% less 2-D work).
     stage_mode: str = "scan"
+    # z★ moving vertical coordinate (reference `mutable=true`,
+    # `omip_simulation.jl:581`): cell thicknesses stretch with the free
+    # surface, h = σ Δz★, σ = 1 + η/H; tracers are thickness-weighted so a
+    # constant tracer stays exactly constant under free-surface motion, and
+    # the pressure gradient carries the +b ∇z|_z★ correction. The
+    # barotropic solve keeps the linear (static-H) wave speed.
+    zstar: bool = False
 
     def initial_state(self, T=None, S=None):
         grid = self.grid
@@ -110,12 +117,22 @@ class HydrostaticModel:
         return self.eos.buoyancy(state["S"], state["T"], z)
 
 
-def diagnose_w(u, v, grid):
+def diagnose_w(u, v, grid, dzc3=None):
     """Vertical velocity from continuity, integrated up from the bottom.
-    Returns (Nz+1, Nyp, Nxp)."""
-    dz = grid.dz_c[:, None, None]
+    Returns (Nz+1, Nyp, Nxp).
+
+    With a moving coordinate (``dzc3`` = σ Δz★), the dia-surface velocity
+    subtracts the column-uniform free-surface stretching (−∂tσ Δz★ with
+    ∂tσ = −∇·U / H), which makes w̃ vanish at the free surface exactly."""
+    dz = grid.dz_c[:, None, None] if dzc3 is None else dzc3
     div_h = (dxc(grid.dy_fc * dz * u * grid.wet_u)
              + dyc(grid.dx_cf * dz * v * grid.wet_v)) / grid.az_cc
+    if dzc3 is not None:
+        H_col = jnp.maximum(grid.column_depth, 1e-8)
+        div_total = jnp.sum(div_h * grid.wet_c, axis=0)
+        frac = (grid.dz_c[:, None, None] * grid.wet_c
+                / H_col)                      # Δz★_k / H per wet cell
+        div_h = div_h - frac * div_total
     w_inc = -div_h                                 # ∂z w · dz
     w = jnp.concatenate([jnp.zeros_like(w_inc[:1]),
                          jnp.cumsum(w_inc, axis=0)], axis=0)
@@ -170,9 +187,20 @@ def shortwave_tendency(Q_sw, grid):
     return Q_sw[None, :, :] * prof
 
 
+def column_sigma(model, eta):
+    """z★ column stretch σ = 1 + η/H (1 on land and when zstar is off)."""
+    grid = model.grid
+    if not model.zstar:
+        return None
+    H_col = grid.column_depth
+    sig = 1.0 + fill_halos(eta, grid) / jnp.maximum(H_col, 1e-8)
+    return jnp.where(H_col > 0, jnp.clip(sig, 0.1, 10.0), 1.0)
+
+
 def tendencies(model, state, fluxes):
     """Explicit tendencies for u, v, T, S (barotropic η-gradient excluded —
-    it lives in the substepped 2-D mode)."""
+    it lives in the substepped 2-D mode). With z★ the returned tracer
+    tendencies are THICKNESS-WEIGHTED: G_c = ∂t(σ c)."""
     grid = model.grid
 
     u = fill_halos(state["u"], grid, "u", vector=True) * grid.wet_u
@@ -181,7 +209,10 @@ def tendencies(model, state, fluxes):
     S = fill_halos(state["S"], grid)
     state = dict(state, u=u, v=v, T=T, S=S)
 
-    w = diagnose_w(u, v, grid)
+    sigma = column_sigma(model, state["eta"])
+    dzc3 = None if sigma is None else sigma[None] * grid.dz_c[:, None, None]
+
+    w = diagnose_w(u, v, grid, dzc3)
     aux, b = closure_aux(model, state, fluxes)
 
     # --- momentum: vorticity + KE + vertical advection + Coriolis ----------
@@ -191,16 +222,29 @@ def tendencies(model, state, fluxes):
                                    vorticity_order=model.momentum_order)
 
     # --- baroclinic pressure gradient --------------------------------------
-    dz = grid.dz_c[:, None, None]
+    dz = grid.dz_c[:, None, None] if dzc3 is None else dzc3
     b_dz = b * dz * grid.wet_c
     Bint = (jnp.cumsum(b_dz[::-1], axis=0)[::-1] - 0.5 * b_dz)  # ∫_z^0 b dz'
     G_u = G_u + dxf(Bint) / grid.dx_fc * grid.wet_u
     G_v = G_v + dyf(Bint) / grid.dy_cf * grid.wet_v
+    if sigma is not None:
+        # moving-coordinate correction +b ∇z|_z★ with
+        # ∂x z|_z★ = ∂x η · (H + z★)/H
+        H_col = jnp.maximum(grid.column_depth, 1e-8)
+        zfac = b * (H_col + grid.z_c[:, None, None]) / H_col * grid.wet_c
+        eta_f = fill_halos(state["eta"], grid)
+        from ..core.stencil import mxf, myf
+        G_u = G_u + mxf(zfac) * dxf(eta_f) / grid.dx_fc * grid.wet_u
+        G_v = G_v + myf(zfac) * dyf(eta_f) / grid.dy_cf * grid.wet_v
 
     # --- tracers (batched: one WENO graph instance for T and S — keeps the
     # serialized HLO small; the stencil ops broadcast over the leading axis)
     TS = jnp.stack([T, S])
-    G_TS = tracer_flux_divergence(TS, u, v, w, grid, model.tracer_order)
+    G_TS = tracer_flux_divergence(TS, u, v, w, grid, model.tracer_order,
+                                  dzc3=dzc3)
+    if sigma is not None:
+        # convert per-moving-volume tendency to thickness-weighted ∂t(σc)
+        G_TS = G_TS * sigma[None, None]
     G_T, G_S = G_TS[0], G_TS[1]
 
     # --- surface fluxes ----------------------------------------------------
@@ -218,6 +262,8 @@ def tendencies(model, state, fluxes):
     hor = sum_horizontal_tendencies(model.closures, grid, state, aux)
     G = {"u": G_u, "v": G_v, "T": G_T, "S": G_S}
     for k, t in hor.items():
+        if sigma is not None and k in ("T", "S"):
+            t = t * sigma[None]               # thickness-weight tracer terms
         G[k] = G[k] + t
 
     return G, aux, state
@@ -228,17 +274,23 @@ def implicit_vertical_step(model, state, aux, dt):
     grid = model.grid
     nu_w, kap_w = sum_diffusivities(model.closures, grid, state, aux)
 
+    dz_c, dz_f = grid.dz_c, grid.dz_f
+    if model.zstar:
+        sig = column_sigma(model, state["eta"])
+        dz_c = sig[None] * dz_c[:, None, None]
+        dz_f = sig[None] * dz_f[:, None, None]
+
     a, b, c = implicit_vertical_diffusion_matrix(
-        kap_w, grid.dz_c, grid.dz_f, dt, grid.wet_c, grid.wet_w)
+        kap_w, dz_c, dz_f, dt, grid.wet_c, grid.wet_w)
     TS = jax.vmap(solve_tridiagonal, in_axes=(None, None, None, 0))(
         a, b, c, jnp.stack([state["T"], state["S"]]) * grid.wet_c)
     T, S = TS[0], TS[1]
 
     au, bu, cu = implicit_vertical_diffusion_matrix(
-        nu_w, grid.dz_c, grid.dz_f, dt, grid.wet_u, grid.wet_w)
+        nu_w, dz_c, dz_f, dt, grid.wet_u, grid.wet_w)
     u = solve_tridiagonal(au, bu, cu, state["u"] * grid.wet_u)
     av, bv, cv = implicit_vertical_diffusion_matrix(
-        nu_w, grid.dz_c, grid.dz_f, dt, grid.wet_v, grid.wet_w)
+        nu_w, dz_c, dz_f, dt, grid.wet_v, grid.wet_w)
     v = solve_tridiagonal(av, bv, cv, state["v"] * grid.wet_v)
 
     out = dict(state, u=u, v=v, T=T, S=S)
@@ -274,8 +326,16 @@ def rk3_substage(model, state0, state_prev, fluxes, dt_stage, substeps):
     new = dict(state0)
     new["u"] = (state0["u"] + dt_stage * G["u"]) * grid.wet_u
     new["v"] = (state0["v"] + dt_stage * G["v"]) * grid.wet_v
-    new["T"] = state0["T"] + dt_stage * G["T"] * grid.wet_c
-    new["S"] = state0["S"] + dt_stage * G["S"] * grid.wet_c
+    if model.zstar:
+        # thickness-weighted tracer update: σⁿ⁺¹ cⁿ⁺¹ = σⁿ cⁿ + Δt ∂t(σc)
+        sig0 = column_sigma(model, state0["eta"])
+        sig1 = column_sigma(model, averaged.eta)
+        for name in ("T", "S"):
+            new[name] = ((sig0[None] * state0[name]
+                          + dt_stage * G[name] * grid.wet_c) / sig1[None])
+    else:
+        new["T"] = state0["T"] + dt_stage * G["T"] * grid.wet_c
+        new["S"] = state0["S"] + dt_stage * G["S"] * grid.wet_c
 
     # reconcile barotropic mode
     new["u"], new["v"] = fs.barotropic_correct(
