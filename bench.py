@@ -87,7 +87,9 @@ def main():
 
     t0 = time.perf_counter()
     state = step(state, t + nsteps * dt, dt)
-    jax.block_until_ready(state)
+    # force a real device->host transfer: block_until_ready alone can return
+    # early on the tunneled-TPU transport
+    float(jnp.sum(state["ocean"]["T"]))
     elapsed = (time.perf_counter() - t0) / nsteps
 
     assert not bool(jnp.isnan(state["ocean"]["T"]).any()), "bench produced NaNs"

@@ -116,7 +116,9 @@ def coupled_step(model, state, t, dt):
         ice_state, ice_ocean = si.step(model.sea_ice, state["sea_ice"],
                                        ocean_state, atmos, model, dt)
         new_state["sea_ice"] = ice_state
-        # blend open-water and under-ice ocean fluxes by ice concentration
+        # blend open-water and under-ice ocean fluxes by ice concentration;
+        # the ice fraction also rides along so closures can damp their
+        # wave-driven TKE sources by (1 − ℵ) (NEMO-TKE nn_etau path)
         a = ice_state["concentration"]
         fluxes = SurfaceFluxes(
             tau_x=(1 - a) * fluxes.tau_x + a * ice_ocean.tau_x,
@@ -124,6 +126,7 @@ def coupled_step(model, state, t, dt):
             Q_T=(1 - a) * fluxes.Q_T + a * ice_ocean.Q_T,
             Q_S=(1 - a) * fluxes.Q_S + a * ice_ocean.Q_S,
             Q_sw=(1 - a) * fluxes.Q_sw,
+            ice_fraction=a,
         )
 
     ocean_new = hyd.step(model.ocean, ocean_state, fluxes, dt)

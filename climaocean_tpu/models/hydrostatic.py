@@ -46,6 +46,8 @@ class SurfaceFluxes(NamedTuple):
     Q_T: jnp.ndarray     # non-penetrating heat flux into ocean [K·m/s]
     Q_S: jnp.ndarray     # salinity flux [g/kg·m/s]
     Q_sw: jnp.ndarray    # penetrating shortwave [K·m/s]
+    ice_fraction: object = None   # optional sea-ice concentration (closures
+                                  # damp wave-driven TKE under ice)
 
     @staticmethod
     def zeros(grid):
