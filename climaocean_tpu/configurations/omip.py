@@ -121,6 +121,7 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
                     stop_iteration=None, vertical_closure="catke",
                     flux_configuration="default", with_sea_ice=True,
                     sea_ice_dynamics=True, normalize_salinity=True,
+                    salinity_restoring=True, piston_velocity=0.5,
                     diagnostics=True, output_dir="output",
                     forcing_end_time=None, progress_interval=10,
                     Nz=None, **config_kw):
@@ -138,6 +139,16 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
     kw["closure"] = omip_closure(vertical_closure)
     ocean_model, ocean_state = builder(**kw)
     grid = ocean_model.grid
+
+    if salinity_restoring:
+        # WOA surface-salinity piston restoring rides the closure tuple as an
+        # additional surface flux (reference `additional_surface_fluxes`,
+        # `omip_simulation.jl:507-523`)
+        import dataclasses
+        from ..data.restoring import woa_salinity_restoring
+        restoring = woa_salinity_restoring(grid, piston_velocity)
+        ocean_model = dataclasses.replace(
+            ocean_model, closures=ocean_model.closures + (restoring,))
 
     sea_ice = None
     if with_sea_ice:
