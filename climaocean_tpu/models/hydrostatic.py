@@ -147,9 +147,13 @@ def closure_aux(model, state, fluxes):
     N² is *locally referenced*: both cells adjacent to an interface are
     evaluated at the interface depth, so the thermobaric z-dependence of the
     TEOS-10 anomaly polynomial cancels — differencing in-situ buoyancy at
-    each cell's own z would diagnose spurious deep convection."""
+    each cell's own z would diagnose spurious deep convection.
+
+    The cell-center buoyancy reuses the two interface evaluations of the
+    SAME cell's state (b_c[k] = ½(b(c_k, z_f[k]) + b(c_k, z_f[k+1]))) —
+    exact to O(Δz²) in the thermobaric term only, and saves a third
+    full-grid 55-term polynomial evaluation per stage."""
     grid = model.grid
-    b = model.buoyancy(state)
     dz_f = grid.dz_f[:, None, None]
 
     bfun = eos_mod.buoyancy if model.eos is None else model.eos.buoyancy
@@ -159,6 +163,10 @@ def closure_aux(model, state, fluxes):
                 shift_clamp(state["T"], Z, -1), zf3)
     db = b_up - b_dn                                # at faces 0..Nz-1
     N2 = jnp.concatenate([db / dz_f[:-1], jnp.zeros_like(db[:1])], axis=0)
+
+    # cell k at face k+1 == b_dn[k+1]; top cell closes with its own face value
+    b_at_upper = jnp.concatenate([b_dn[1:], b_up[-1:]], axis=0)
+    b = 0.5 * (b_up + b_at_upper)
 
     u_c = mxc(state["u"])
     v_c = myc(state["v"])
