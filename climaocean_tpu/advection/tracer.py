@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.stencil import X, Y, Z, dxc, dyc, shift_n
+from ..core.stencil import X, Y, Z, dxc, dyc
 from .weno import weno_upwind, centered_face
 
 

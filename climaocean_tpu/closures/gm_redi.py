@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..core.stencil import (Z, dxc, dxf, dyc, dyf, mxc, mxf, myc, myf, mzc,
+from ..core.stencil import (Z, dxc, dxf, dyc, dyf, mxc, mxf, myc, myf,
                             shift_clamp)
 
 

@@ -33,7 +33,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..core.stencil import Z, mxc, myc, mzc, shift_clamp
+from ..core.stencil import mxc, myc
 
 # two-band shortwave (mirrors models.hydrostatic's Jerlov-I profile and the
 # reference's radiation.first_color_fraction / absorption coefficients)

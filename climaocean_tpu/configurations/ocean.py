@@ -8,10 +8,7 @@ NumericalEarth-`ocean_simulation`-equivalent entry point.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..closures.catke import CATKEVerticalDiffusivity
-from ..closures.ri_based import RiBasedVerticalDiffusivity
 from ..closures.scalar_diffusivity import (
     ConvectiveAdjustmentVerticalDiffusivity, HorizontalScalarBiharmonicDiffusivity,
     HorizontalScalarDiffusivity, VerticalScalarDiffusivity, henyey_diffusivity,

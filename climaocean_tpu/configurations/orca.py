@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-
 from ..data.bathymetry import regrid_bathymetry
 from ..data.metadata import Metadatum, WOAAnnual, set_fields
 from ..grids.grid import with_bottom_height

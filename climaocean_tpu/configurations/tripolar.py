@@ -16,16 +16,9 @@ exact defaults (SURVEY.md §2a):
 * `tenth_degree_tripolar_ocean` (`tenth_degree_tripolar.jl`): 3600×1800,
   Nz=100, depth 5500, substeps=70.
 
-GM/Redi (`IsopycnalSkewSymmetricDiffusivity`) lands in a later round; the
-configurations accept and currently warn-skip those kwargs so call sites
-match the reference signature.
 """
 
 from __future__ import annotations
-
-import warnings
-
-import numpy as np
 
 from ..closures.catke import CATKEVerticalDiffusivity
 from ..closures.scalar_diffusivity import (HorizontalScalarBiharmonicDiffusivity,

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .thermodynamics import (CP_AIR, LV, air_density, air_kinematic_viscosity,
-                             saturation_specific_humidity, virtual_temperature)
+                             virtual_temperature)
 
 VON_KARMAN = 0.4
 GRAVITY = 9.80665
@@ -156,7 +156,9 @@ class SimilarityTheoryFluxes:
     minimum_gustiness: float = 0.5     # m/s (CORE-II convention, :41)
     reference_height: float = 10.0     # m
     boundary_layer_height: float = 600.0
-    iterations: int = 10
+    # MOST iteration count: COARE-class solvers converge in ~3-5; the
+    # reference's NCAR config fixes 5 (`FixedIterations(5)`)
+    iterations: int = 6
     stable_psi: str = "ocean"          # "ocean" (linear) | "ice" (SHEBA-like)
 
     def __call__(self, atmos: AtmosphereState, T_surf_K, q_surf,

@@ -17,7 +17,6 @@ file-or-synthetic-fallback here.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from dataclasses import dataclass
 

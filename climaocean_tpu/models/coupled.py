@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..coupler import radiation as rad
 from ..coupler.similarity_theory import SimilarityTheoryFluxes
-from ..coupler.thermodynamics import CELSIUS, LV, saturation_specific_humidity
+from ..coupler.thermodynamics import CELSIUS, saturation_specific_humidity
 from . import hydrostatic as hyd
 from .hydrostatic import SurfaceFluxes
 

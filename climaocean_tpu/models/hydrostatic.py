@@ -22,7 +22,7 @@ Surface fluxes are *into the ocean* (positive heats/freshens/accelerates):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple
 

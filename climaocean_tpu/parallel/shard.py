@@ -22,15 +22,9 @@ interior (Ny, Nx) must divide evenly (pad the grid otherwise).
 
 from __future__ import annotations
 
-from functools import partial
-
-import numpy as np
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from ..grids import grid as gridmod
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 # --------------------------------------------------------------------------

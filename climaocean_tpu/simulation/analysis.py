@@ -105,14 +105,33 @@ def _load_scalars(c):
     return read_parts(c.dir, c.prefix + "_scalars")
 
 
+def atlantic_ocean_basin(grid):
+    """Atlantic basin mask at centers, interior (Ny, Nx) — reference
+    `atlantic_ocean_basin(grid)` (`visualize/cache.jl:1178`). Geographic
+    box-polygon: between the Americas and Afro-Europe, 35°S to the Arctic."""
+    H = grid.H
+    lat = np.asarray(grid.lat_cc)[H:H + grid.Ny, H:H + grid.Nx]
+    lon = ((np.asarray(grid.lon_cc)[H:H + grid.Ny, H:H + grid.Nx]
+            + 180.0) % 360.0) - 180.0
+    west = np.where(lat > 10.0, -98.0, np.where(lat > 0.0, -85.0, -70.0))
+    east = np.where(lat > 65.0, 60.0, np.where(lat > 35.0, 0.0, 20.0))
+    mask = (lat > -35.0) & (lon > west) & (lon < east)
+    wet = np.asarray(grid.wet_c[-1])[H:H + grid.Ny, H:H + grid.Nx] > 0
+    return (mask & wet).astype(np.float32)
+
+
 @CaseCache.loader("amoc")
 def _load_amoc(c):
-    """Meridional overturning streamfunction ψ(y, z) [Sv] from saved vvol
-    (reference `cache.jl:1195-1211`: ψ = −cumsum_z Σ_x vvol; the basin mask
-    refinement lands with `atlantic_ocean_basin`)."""
+    """Atlantic meridional overturning streamfunction ψ(y, z) [Sv] from
+    saved vvol (reference `cache.jl:1195-1211`:
+    ψ = −cumsum_z Σ_atlantic vvol)."""
     f = c.get("fields")
     vvol = f["vvol"]                    # (time, Nz, Ny, Nx)
-    zonal = vvol.sum(axis=-1)           # (time, Nz, Ny)
+    if c.grid is not None:
+        basin = atlantic_ocean_basin(c.grid)[None, None]
+        zonal = (vvol * basin).sum(axis=-1)
+    else:
+        zonal = vvol.sum(axis=-1)
     psi = -np.cumsum(zonal[:, ::-1, :], axis=1)[:, ::-1, :] / SVERDRUP
     return {"psi": psi.mean(axis=0), "psi_series": psi.max(axis=(1, 2))}
 

@@ -15,7 +15,6 @@ reference's `atomic_replace!` discipline from `jra55_data_staging.jl:55-61`).
 
 from __future__ import annotations
 
-import json
 import os
 import re
 import tempfile

@@ -16,7 +16,6 @@ profiling; ours are cheap but can be disabled the same way).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
 
 import numpy as np
 

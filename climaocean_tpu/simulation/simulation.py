@@ -15,7 +15,7 @@ between steps so the loop is allocation-free on device.
 from __future__ import annotations
 
 import time as _time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 
