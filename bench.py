@@ -57,9 +57,10 @@ def main():
 
     closures = (CATKEVerticalDiffusivity(),
                 VerticalScalarDiffusivity(nu=3e-5, kappa=1e-5))
-    ocean = HydrostaticModel(grid=grid, closures=closures, substeps=substeps,
-                             momentum_scheme="vector_invariant",
-                             momentum_order=5, tracer_order=7)
+    ocean = HydrostaticModel(
+        grid=grid, closures=closures, substeps=substeps,
+        momentum_scheme="vector_invariant", momentum_order=5, tracer_order=7,
+        timestepper=os.environ.get("BENCH_TIMESTEPPER", "SplitRungeKutta3"))
     atmos = synthetic_prescribed_atmosphere(grid, 0.0, 2 * 86400.0)
     model = OceanSeaIceModel(ocean=ocean, atmosphere=atmos)
 

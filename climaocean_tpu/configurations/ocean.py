@@ -63,7 +63,7 @@ def ocean_simulation(grid, closure=None, momentum_advection="vector_invariant",
                              momentum_order=momentum_order,
                              tracer_order=tracer_order,
                              substeps=free_surface_substeps, eos=eos,
-                             zstar=zstar)
+                             zstar=zstar, timestepper=timestepper)
     return model
 
 
