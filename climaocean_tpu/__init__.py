@@ -57,5 +57,20 @@ from .configurations.sea_ice import (half_degree_tripolar_sea_ice,
                                      one_degree_tripolar_sea_ice,
                                      orca_sea_ice, sea_ice_simulation,
                                      sixth_degree_tripolar_sea_ice)
+from .configurations.orca import ORCAGrid, orca_ocean
+from .configurations.omip import omip_closure, omip_simulation
+from .data.restoring import (DatasetRestoring, SurfaceFluxRestoring,
+                             woa_salinity_restoring)
+from .closures.gm_redi import IsopycnalSkewSymmetricDiffusivity
+from .closures.kpp import KPPVerticalDiffusivity
+from .closures.nemo_tke import NEMOTKEVerticalDiffusivity
+from .coupler.prefetch import PrefetchingAtmosphere
+from .simulation.analysis import CaseCache, atlantic_ocean_basin
+from .simulation.strait_transports import (StraitSection, strait_sections,
+                                           strait_transports)
+from .simulation.simulation import nan_checker
+
+# reference-name alias: `Progress` (src/ClimaOcean.jl:48-88)
+Progress = progress_callback
 
 __version__ = "0.1.0"
