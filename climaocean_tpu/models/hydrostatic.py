@@ -33,7 +33,8 @@ from ..advection.tracer import tracer_flux_divergence
 from ..advection.vector_invariant import coriolis_ff, momentum_tendencies
 from ..closures.base import ClosureAux, sum_diffusivities, sum_horizontal_tendencies
 from ..core.halo import fill_halos
-from ..core.stencil import Z, dxc, dxf, dyc, dyf, mxc, myc, shift_clamp
+from ..core.stencil import (Z, dxc, dxf, dyc, dyf, mxc, mxf, myc, myf,
+                            shift_clamp)
 from ..core.tridiagonal import implicit_vertical_diffusion_matrix, solve_tridiagonal
 from ..physics import eos as eos_mod
 from ..physics.eos import G_EARTH
@@ -66,7 +67,8 @@ SW_SCALE2 = 23.0     # m
          data_fields=["grid", "closures"],
          meta_fields=["momentum_scheme", "momentum_order", "tracer_order",
                       "eos", "substeps", "g", "rotation_rate", "rk3_gammas",
-                      "stage_mode", "zstar", "timestepper", "ab2_chi"])
+                      "stage_mode", "zstar", "timestepper", "ab2_chi",
+                      "bottom_drag_coefficient"])
 @dataclass(frozen=True)
 class HydrostaticModel:
     """Model configuration. Registered as a pytree so the grid's metric and
@@ -101,6 +103,10 @@ class HydrostaticModel:
     # tendency evaluation per step, ~2.5x cheaper, smaller stable Δt).
     timestepper: str = "SplitRungeKutta3"
     ab2_chi: float = 0.1
+    # quadratic bottom drag τ_b = −Cd |u| u applied in each column's
+    # deepest wet cell (NumericalEarth ocean_simulation default) — without
+    # it boundary currents never equilibrate.
+    bottom_drag_coefficient: float = 0.003
 
     def initial_state(self, T=None, S=None):
         grid = self.grid
@@ -251,7 +257,6 @@ def tendencies(model, state, fluxes):
         H_col = jnp.maximum(grid.column_depth, 1e-8)
         zfac = b * (H_col + grid.z_c[:, None, None]) / H_col * grid.wet_c
         eta_f = fill_halos(state["eta"], grid)
-        from ..core.stencil import mxf, myf
         G_u = G_u + mxf(zfac) * dxf(eta_f) / grid.dx_fc * grid.wet_u
         G_v = G_v + myf(zfac) * dyf(eta_f) / grid.dy_cf * grid.wet_v
 
@@ -264,6 +269,19 @@ def tendencies(model, state, fluxes):
         # convert per-moving-volume tendency to thickness-weighted ∂t(σc)
         G_TS = G_TS * sigma[None, None]
     G_T, G_S = G_TS[0], G_TS[1]
+
+    # --- quadratic bottom drag (deepest wet cell per column) ---------------
+    if model.bottom_drag_coefficient:
+        from ..core.stencil import zm1
+        bottom_u = grid.wet_u * (1.0 - zm1(grid.wet_u).at[0].set(0.0))
+        bottom_v = grid.wet_v * (1.0 - zm1(grid.wet_v).at[0].set(0.0))
+        v_at_u = mxf(myc(v))
+        u_at_v = myf(mxc(u))
+        sp_u = jnp.sqrt(u ** 2 + v_at_u ** 2)
+        sp_v = jnp.sqrt(v ** 2 + u_at_v ** 2)
+        Cd = model.bottom_drag_coefficient
+        G_u = G_u - Cd * sp_u * u / dz * bottom_u
+        G_v = G_v - Cd * sp_v * v / dz * bottom_v
 
     # --- surface fluxes ----------------------------------------------------
     dz_top = grid.dz_c[-1]
