@@ -36,6 +36,26 @@ class BarotropicState(NamedTuple):
     V: jnp.ndarray
 
 
+class AveragedBarotropic(NamedTuple):
+    """Window-averaged barotropic solution.
+
+    ``U``/``V`` are the flat window averages (the noise filter, used to
+    reconcile the prognostic momentum). ``U_eff``/``V_eff`` are the
+    *mass-consistent* effective transports, accumulated with weights
+    2(M−j)/M² over the forward-backward chain so that
+
+        eta_avg = eta_0 − Δt ∇·(U_eff, V_eff)
+
+    holds EXACTLY (telescoping of the substep η updates). Advecting tracers
+    with velocities corrected to U_eff (ROMS ordering) makes a constant
+    tracer exactly constant under z★ free-surface motion."""
+    eta: jnp.ndarray
+    U: jnp.ndarray
+    V: jnp.ndarray
+    U_eff: jnp.ndarray
+    V_eff: jnp.ndarray
+
+
 def column_depths(grid):
     """Static water depths at c, u, v points (2-D)."""
     dz = grid.dz_c[:, None, None]
@@ -84,8 +104,15 @@ def _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
     fill_U = fill_U or fill_halos_2d
     fill_V = fill_V or fill_halos_2d
 
-    def body(carry, _):
-        eta, U, V, eta_a, U_a, V_a = carry
+    # mass-consistency weights: the U entering substep j (j = 0..M−1) drives
+    # η updates for all remaining M−j substeps, so its weight in the
+    # effective transport is (M−j)/M per dtau → 2(M−j)/M² per dt_stage.
+    w_eff = 2.0 * (M - jnp.arange(M, dtype=bt.eta.dtype)) / (M * M)
+
+    def body(carry, we):
+        eta, U, V, eta_a, U_a, V_a, U_e, V_e = carry
+        U_e = U_e + we * U          # entering U: the one the η update uses
+        V_e = V_e + we * V
         eta = eta - dtau * barotropic_divergence(U, V, grid)
         # halo-fill BEFORE masking: masks are defined on the padded arrays
         # (dry in bounded-direction halos), so masking last keeps wall
@@ -96,13 +123,16 @@ def _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
         V = V + dtau * (-g * H_v * dyf(eta) / grid.dy_cf + GV)
         U = fill_U(U) * wet2_u
         V = fill_V(V) * wet2_v
-        return (eta, U, V, eta_a + w * eta, U_a + w * U, V_a + w * V), None
+        return (eta, U, V, eta_a + w * eta, U_a + w * U, V_a + w * V,
+                U_e, V_e), None
 
     z = jnp.zeros_like(bt.eta)
-    init = (bt.eta, bt.U, bt.V, z, jnp.zeros_like(bt.U), jnp.zeros_like(bt.V))
-    (eta, U, V, eta_a, U_a, V_a), _ = jax.lax.scan(body, init, None, length=M)
+    zU, zV = jnp.zeros_like(bt.U), jnp.zeros_like(bt.V)
+    init = (bt.eta, bt.U, bt.V, z, zU, zV, zU, zV)
+    (eta, U, V, eta_a, U_a, V_a, U_e, V_e), _ = jax.lax.scan(
+        body, init, w_eff, length=M)
 
-    averaged = BarotropicState(eta_a, U_a, V_a)
+    averaged = AveragedBarotropic(eta_a, U_a, V_a, U_e, V_e)
     final = BarotropicState(eta, U, V)
     return averaged, final
 
@@ -131,24 +161,32 @@ def _substep_barotropic_unpadded(bt, grid, GU, GV, dt_stage, substeps, g):
     dtau = 2.0 * dt_stage / M
     w = 1.0 / M
 
-    def body(carry, _):
-        eta, U, V, eta_a, U_a, V_a = carry
+    w_eff = 2.0 * (M - jnp.arange(M, dtype=bt.eta.dtype)) / (M * M)
+
+    def body(carry, we):
+        eta, U, V, eta_a, U_a, V_a, U_e, V_e = carry
+        U_e = U_e + we * U
+        V_e = V_e + we * V
         div = (dxc(dyfc * U) + dyc(dxcf * V)) / az
         eta = (eta - dtau * div) * wet2_c
         U = (U + dtau * (-g * Hu * dxf(eta) / dxfc + GU_i)) * wet2_u
         V = (V + dtau * (-g * Hv * dyf(eta) / dycf + GV_i)) * wet2_v
-        return (eta, U, V, eta_a + w * eta, U_a + w * U, V_a + w * V), None
+        return (eta, U, V, eta_a + w * eta, U_a + w * U, V_a + w * V,
+                U_e, V_e), None
 
     e0, U0, V0 = cut(bt.eta), cut(bt.U), cut(bt.V)
     z = jnp.zeros_like(e0)
-    init = (e0, U0, V0, z, jnp.zeros_like(U0), jnp.zeros_like(V0))
-    (eta, U, V, eta_a, U_a, V_a), _ = jax.lax.scan(body, init, None, length=M)
+    zU, zV = jnp.zeros_like(U0), jnp.zeros_like(V0)
+    init = (e0, U0, V0, z, zU, zV, zU, zV)
+    (eta, U, V, eta_a, U_a, V_a, U_e, V_e), _ = jax.lax.scan(
+        body, init, w_eff, length=M)
 
     def embed(a, like):
         return jnp.zeros_like(like).at[..., H:H + grid.Ny, H:H + grid.Nx].set(a)
 
-    averaged = BarotropicState(embed(eta_a, bt.eta), embed(U_a, bt.U),
-                               embed(V_a, bt.V))
+    averaged = AveragedBarotropic(embed(eta_a, bt.eta), embed(U_a, bt.U),
+                                  embed(V_a, bt.V), embed(U_e, bt.U),
+                                  embed(V_e, bt.V))
     final = BarotropicState(embed(eta, bt.eta), embed(U, bt.U),
                             embed(V, bt.V))
     return averaged, final
@@ -162,13 +200,23 @@ def barotropic_transport(u, v, grid):
     return U, V
 
 
-def barotropic_correct(u, v, U_bar, V_bar, grid):
+def barotropic_correct(u, v, U_bar, V_bar, grid, sigma=None):
     """Replace the depth-mean of (u, v) with the averaged barotropic
-    solution (the split-explicit reconciliation step)."""
+    solution (the split-explicit reconciliation step).
+
+    With ``sigma`` (the z★ column stretch, column-uniform 2-D field), the
+    correction targets the *thickness-weighted* transport Σ u σ Δz = U_bar:
+    du = (U_bar − σ U_p)/(σ H). The tracer flux thickness is σ Δz★ with the
+    same one-sided σ indexing, so advecting with the corrected velocities
+    preserves a constant tracer exactly (see AveragedBarotropic)."""
     H_c, H_u, H_v = column_depths(grid)
     U_p, V_p = barotropic_transport(u, v, grid)
-    du = (U_bar - U_p) / jnp.maximum(H_u, 1e-8)
-    dv = (V_bar - V_p) / jnp.maximum(H_v, 1e-8)
+    if sigma is None:
+        du = (U_bar - U_p) / jnp.maximum(H_u, 1e-8)
+        dv = (V_bar - V_p) / jnp.maximum(H_v, 1e-8)
+    else:
+        du = (U_bar - sigma * U_p) / jnp.maximum(sigma * H_u, 1e-8)
+        dv = (V_bar - sigma * V_p) / jnp.maximum(sigma * H_v, 1e-8)
     u = (u + du[None, :, :]) * grid.wet_u
     v = (v + dv[None, :, :]) * grid.wet_v
     return u, v

@@ -68,7 +68,7 @@ SW_SCALE2 = 23.0     # m
          meta_fields=["momentum_scheme", "momentum_order", "tracer_order",
                       "eos", "substeps", "g", "rotation_rate", "rk3_gammas",
                       "stage_mode", "zstar", "timestepper", "ab2_chi",
-                      "bottom_drag_coefficient"])
+                      "bottom_drag_coefficient", "consistent_transport"])
 @dataclass(frozen=True)
 class HydrostaticModel:
     """Model configuration. Registered as a pytree so the grid's metric and
@@ -107,6 +107,12 @@ class HydrostaticModel:
     # deepest wet cell (NumericalEarth ocean_simulation default) — without
     # it boundary currents never equilibrate.
     bottom_drag_coefficient: float = 0.003
+    # ROMS ordering: advect tracers AFTER the barotropic solve with
+    # velocities corrected to the mass-consistent effective transports —
+    # same op count, and a constant tracer is exactly constant under z★
+    # (`tracer_advection_tendency`). Applies to the RK3 steppers; AB2 keeps
+    # single-evaluation ordering (G_prev must contain advection).
+    consistent_transport: bool = True
 
     def initial_state(self, T=None, S=None):
         grid = self.grid
@@ -221,10 +227,52 @@ def column_sigma(model, eta):
     return jnp.where(H_col > 0, jnp.clip(sig, 0.1, 10.0), 1.0)
 
 
-def tendencies(model, state, fluxes):
+def _tracer_advection_terms(model, T, S, u, v, w, sigma, dzc3):
+    """Advective T/S tendencies (thickness-weighted under z★)."""
+    grid = model.grid
+    TS = jnp.stack([T, S])
+    G_TS = tracer_flux_divergence(TS, u, v, w, grid, model.tracer_order,
+                                  dzc3=dzc3)
+    if sigma is not None:
+        # convert per-moving-volume tendency to thickness-weighted ∂t(σc)
+        G_TS = G_TS * sigma[None, None]
+    return G_TS[0], G_TS[1]
+
+
+def tracer_advection_tendency(model, state_f, averaged):
+    """ROMS-ordered tracer advection: advect with the tendency-state
+    velocities corrected so their (σ-weighted) depth-integrated transport
+    equals the barotropic solve's mass-consistent effective transport
+    (`fs.AveragedBarotropic.U_eff`). Because η_avg = η₀ − Δt ∇·U_eff holds
+    exactly and σ is column-uniform, a constant tracer stays constant to
+    roundoff under z★ (reference: Oceananigans advects tracers AFTER the
+    barotropic correction for the same reason; ROMS "consistency" ordering).
+
+    ``state_f`` must have halo-filled u, v, T, S (the dict returned by
+    `tendencies`)."""
+    grid = model.grid
+    sigma = column_sigma(model, state_f["eta"])
+    dzc3 = None if sigma is None else sigma[None] * grid.dz_c[:, None, None]
+    u_adv, v_adv = fs.barotropic_correct(
+        state_f["u"], state_f["v"], averaged.U_eff, averaged.V_eff, grid,
+        sigma=sigma)
+    u_adv = fill_halos(u_adv, grid, "u", vector=True) * grid.wet_u
+    v_adv = fill_halos(v_adv, grid, "v", vector=True) * grid.wet_v
+    w_adv = diagnose_w(u_adv, v_adv, grid, dzc3)
+    return _tracer_advection_terms(model, state_f["T"], state_f["S"],
+                                   u_adv, v_adv, w_adv, sigma, dzc3)
+
+
+def tendencies(model, state, fluxes, tracer_advection=True):
     """Explicit tendencies for u, v, T, S (barotropic η-gradient excluded —
     it lives in the substepped 2-D mode). With z★ the returned tracer
-    tendencies are THICKNESS-WEIGHTED: G_c = ∂t(σ c)."""
+    tendencies are THICKNESS-WEIGHTED: G_c = ∂t(σ c).
+
+    ``tracer_advection=False`` omits the advective T/S terms (surface
+    fluxes, shortwave, and closure tendencies are kept) — the ROMS-ordered
+    steppers add advection AFTER the barotropic solve with velocities
+    corrected to the mass-consistent effective transports
+    (`tracer_advection_tendency`)."""
     grid = model.grid
 
     u = fill_halos(state["u"], grid, "u", vector=True) * grid.wet_u
@@ -260,15 +308,14 @@ def tendencies(model, state, fluxes):
         G_u = G_u + mxf(zfac) * dxf(eta_f) / grid.dx_fc * grid.wet_u
         G_v = G_v + myf(zfac) * dyf(eta_f) / grid.dy_cf * grid.wet_v
 
-    # --- tracers (batched: one WENO graph instance for T and S — keeps the
-    # serialized HLO small; the stencil ops broadcast over the leading axis)
-    TS = jnp.stack([T, S])
-    G_TS = tracer_flux_divergence(TS, u, v, w, grid, model.tracer_order,
-                                  dzc3=dzc3)
-    if sigma is not None:
-        # convert per-moving-volume tendency to thickness-weighted ∂t(σc)
-        G_TS = G_TS * sigma[None, None]
-    G_T, G_S = G_TS[0], G_TS[1]
+    if tracer_advection:
+        # batched: one WENO graph instance for T and S — keeps the
+        # serialized HLO small; the stencil ops broadcast over the leading
+        # axis
+        G_T, G_S = _tracer_advection_terms(model, T, S, u, v, w, sigma, dzc3)
+    else:
+        G_T = jnp.zeros_like(T)
+        G_S = jnp.zeros_like(S)
 
     # --- quadratic bottom drag (deepest wet cell per column) ---------------
     if model.bottom_drag_coefficient:
@@ -343,7 +390,9 @@ def rk3_substage(model, state0, state_prev, fluxes, dt_stage, substeps):
     tendencies at ``state_prev``, barotropic substepping, correction,
     implicit vertical mixing."""
     grid = model.grid
-    G, aux, state_prev = tendencies(model, state_prev, fluxes)
+    roms = model.consistent_transport
+    G, aux, state_prev = tendencies(model, state_prev, fluxes,
+                                    tracer_advection=not roms)
 
     # barotropic forcing: depth-integral of the slow momentum tendencies
     dz = grid.dz_c[:, None, None]
@@ -357,6 +406,10 @@ def rk3_substage(model, state0, state_prev, fluxes, dt_stage, substeps):
         lambda a: fill_halos(a, grid), model.g,
         fill_U=lambda a: fill_halos(a, grid, "u", vector=True),
         fill_V=lambda a: fill_halos(a, grid, "v", vector=True))
+
+    if roms:
+        adv_T, adv_S = tracer_advection_tendency(model, state_prev, averaged)
+        G = dict(G, T=G["T"] + adv_T, S=G["S"] + adv_S)
 
     # explicit 3-D update (closure prognostics restart from state0 too)
     new = dict(state0)

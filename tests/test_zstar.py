@@ -45,12 +45,14 @@ def test_zstar_seiche_tracer_consistency():
         s = step(s)
     Ti = np.asarray(grid.interior(s["T"]))
     wet = np.asarray(grid.interior(grid.wet_c)) > 0
-    # constant tracer stays constant to the split-explicit consistency
-    # residual (<0.1% under a violent 1%-sigma seiche)
-    assert abs(Ti[wet] - 15.0).max() < 0.02
+    # ROMS ordering (advect with mass-consistent effective transports +
+    # σ-aware correction) preserves a constant tracer to f32 roundoff even
+    # under a violent 1%-sigma seiche (was ~1e-2 with pre-correction
+    # velocities)
+    assert abs(Ti[wet] - 15.0).max() < 1e-4
     # sigma-weighted tracer mass conserved
     m1 = tracer_mass(grid, model, s)
-    assert abs(m1 - m0) / abs(m0) < 1e-5
+    assert abs(m1 - m0) / abs(m0) < 5e-6
     # the seiche is alive
     assert float(jnp.abs(s["eta"]).max()) > 0.3
 
