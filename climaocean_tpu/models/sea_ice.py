@@ -36,6 +36,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..core.halo import fill_halos
 from ..core.stencil import dxc, dxf, dyc, dyf, mxc, mxf, mxyc, mxyf, myc, myf
 from ..coupler import radiation as rad
 from ..coupler.similarity_theory import SimilarityTheoryFluxes, FixedRoughnessLength
@@ -206,14 +207,20 @@ def evp_dynamics(model, ice, ocean_state, atmos, dt):
     f_u = 2.0 * 7.292115e-5 * jnp.sin(jnp.deg2rad(grid.lat_fc))
     f_v = 2.0 * 7.292115e-5 * jnp.sin(jnp.deg2rad(grid.lat_cf))
 
-    uo = ocean_state["u"][-1]
-    vo = ocean_state["v"][-1]
+    # surface-ocean and wind fields feed ±1 stencils (mxf/myf below), so
+    # their halos must be current — the ocean state arrives with stale,
+    # masked halos, and on folded grids the velocity components flip sign
+    # across the fold.
+    uo = fill_halos(ocean_state["u"][-1], grid, "u", vector=True)
+    vo = fill_halos(ocean_state["v"][-1], grid, "v", vector=True)
+    ua = fill_halos(atmos.u, grid, "c", vector=True)
+    va = fill_halos(atmos.v, grid, "c", vector=True)
 
     # air stress on ice (quadratic, constant Cd_ai)
     rho_a, Cd_ai = 1.25, 1.4e-3
-    Ua = jnp.sqrt(atmos.u ** 2 + atmos.v ** 2 + 0.25)
-    tau_ax = rho_a * Cd_ai * mxf(Ua * atmos.u)
-    tau_ay = rho_a * Cd_ai * myf(Ua * atmos.v)
+    Ua = jnp.sqrt(ua ** 2 + va ** 2 + 0.25)
+    tau_ax = rho_a * Cd_ai * mxf(Ua * ua)
+    tau_ay = rho_a * Cd_ai * myf(Ua * va)
 
     Cd_io = 5.5e-3
     dte = dt / model.substeps
@@ -268,8 +275,13 @@ def evp_dynamics(model, ice, ocean_state, atmos, dt):
         v_new = (v + dte / m_v_s * (fy + tau_ay + tau_oy * myf(vo)
                                     - m_v * f_v * myf(mxc(u)))) \
             / (1.0 + dte * tau_oy / m_v_s)
-        u_new = u_new * active_u
-        v_new = v_new * active_v
+        # refill halos EVERY substep: the stencil contract (core.stencil)
+        # only tolerates H substeps of roll wrap-around, but EVP runs
+        # O(100); without per-substep fills, garbage crosses the periodic-x
+        # seam (and the tripolar fold is never applied to ice at all).
+        # Under shard_map this is the per-substep ppermute exchange.
+        u_new = fill_halos(u_new, grid, "u", vector=True) * active_u
+        v_new = fill_halos(v_new, grid, "v", vector=True) * active_v
         return (u_new, v_new, s1, s2, s12), None
 
     z = jnp.zeros_like(h)
@@ -310,6 +322,16 @@ def advect_ice(model, ice, dt):
 def step(model, ice, ocean_state, atmos, coupled, dt):
     """Full sea-ice step: dynamics → advection → thermodynamics. Returns
     (new_ice_state, SurfaceFluxes handed to the ocean under ice)."""
+    grid = model.grid
+    # refresh halos of every stencil-read ice field once per step (the
+    # previous step's outputs carry stale halos; ice velocity flips sign
+    # across the tripolar fold)
+    ice = dict(ice,
+               thickness=fill_halos(ice["thickness"], grid),
+               concentration=fill_halos(ice["concentration"], grid),
+               snow=fill_halos(ice["snow"], grid),
+               u=fill_halos(ice["u"], grid, "u", vector=True),
+               v=fill_halos(ice["v"], grid, "v", vector=True))
     if model.dynamics:
         ice, tau_iox, tau_ioy = evp_dynamics(model, ice, ocean_state, atmos, dt)
         ice = advect_ice(model, ice, dt)
