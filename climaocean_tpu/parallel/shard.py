@@ -228,3 +228,114 @@ def make_sharded_step_fn(model, mesh: Mesh, donate=True):
         return jitted(lgrid_stacked, state_stacked, fluxes_stacked, dt)
 
     return step_fn, partition, unpartition
+
+
+def make_sharded_coupled_step_fn(model, mesh: Mesh, donate=True):
+    """Jitted FULL coupled step (atmosphere time-interp → bulk fluxes → EVP
+    sea ice → ocean) under `shard_map` with ppermute halo exchange.
+
+    Everything inside `coupled_step` is either pointwise (flux solvers,
+    radiation, thermodynamics, time interpolation) or reaches halos through
+    `core.halo.fill_halos` (ocean tendencies/barotropic substeps; the sea-ice
+    step's entry/per-EVP-substep fills), so overriding the fill with the
+    ppermute exchange distributes the whole step — every EVP substep and
+    every barotropic substep does one ICI halo exchange, like the reference's
+    MPI `fill_halo_regions!` inside its substep loops.
+
+    Returns (step_fn, partition_fn, unpartition_fn) with
+    ``step_fn(state_stacked, t, dt) -> state_stacked``. Tripolar grids are
+    not yet supported on this path (the fold exchange needs a dedicated
+    collective; use the GSPMD path there).
+    """
+    import dataclasses
+
+    from ..utils.compat import shard_map
+
+    from ..core.halo import halo_override
+    from ..models import coupled as cm
+
+    py, px = mesh.devices.shape
+    grid = model.ocean.grid
+    assert not grid.kind.startswith("tripolar"), \
+        "tripolar fold under shard_map not supported yet — use the SPMD path"
+    assert grid.Ny % py == 0 and grid.Nx % px == 0, \
+        f"(Ny={grid.Ny}, Nx={grid.Nx}) must divide the mesh {py}x{px}"
+    nx_loc, ny_loc = grid.Nx // px, grid.Ny // py
+    nxp_loc = nx_loc + 2 * grid.H
+
+    model_stacked = partition_tree(model, grid, py, px)
+
+    def spec_for(a):
+        return P(("y", "x")) if _is_stacked(a, nxp_loc) else P()
+
+    def unstack(tree):
+        return jax.tree_util.tree_map(
+            lambda a: a[0] if _is_stacked(a, nxp_loc) else a, tree)
+
+    def localize_grids(m):
+        """Fix the static Nx/Ny metadata of every component grid to the
+        local tile (array leaves are already local after unstack)."""
+        def fix(component):
+            return dataclasses.replace(
+                component, grid=dataclasses.replace(component.grid,
+                                                    Nx=nx_loc, Ny=ny_loc))
+        m = dataclasses.replace(m, ocean=fix(m.ocean))
+        if m.sea_ice is not None:
+            m = dataclasses.replace(m, sea_ice=fix(m.sea_ice))
+        return m
+
+    def sharded_fill(a, g, location="c", vector=False):
+        return halo_exchange(a, g.H, periodic_x=grid.periodic_x,
+                             periodic_y=grid.periodic_y)
+
+    def _restack(a):
+        return a[None] if (a.ndim >= 2 and a.shape[-1] == nxp_loc) else a
+
+    def step_local(model_tile, state_tile, t, dt):
+        m = localize_grids(unstack(model_tile))
+        s = unstack(state_tile)
+        with halo_override(sharded_fill):
+            out = cm.coupled_step(m, s, t, dt)
+        return jax.tree_util.tree_map(_restack, out)
+
+    def _tile_sds(tree):
+        """Per-tile ShapeDtypeStructs (device axis stripped) — coupled_step
+        indexes leading axes positionally (T[-1] is the surface), so shape
+        inference must see tile-rank arrays, not stacked ones."""
+        def f(a):
+            if not hasattr(a, "shape"):
+                return a
+            shape = a.shape[1:] if _is_stacked(a, nxp_loc) else a.shape
+            return jax.ShapeDtypeStruct(shape, a.dtype)
+        return jax.tree_util.tree_map(f, tree)
+
+    def run(model_s, state_s, t, dt):
+        in_specs = (jax.tree_util.tree_map(spec_for, model_s),
+                    jax.tree_util.tree_map(spec_for, state_s), P(), P())
+        # the output adds `net_fluxes` to the state on the first step —
+        # derive its structure abstractly (shapes only; the halo-fill
+        # indices seen by eval_shape are meaningless but shape-preserving)
+        out_sd = jax.eval_shape(
+            lambda m, s: cm.coupled_step(localize_grids(m), s, 0.0, 1.0),
+            _tile_sds(model_s), _tile_sds(state_s))
+        out_specs = jax.tree_util.tree_map(
+            lambda sd: P(("y", "x")) if (len(sd.shape) >= 2
+                                         and sd.shape[-1] == nxp_loc)
+            else P(), out_sd)
+        return shard_map(step_local, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs)(model_s, state_s, t, dt)
+
+    jitted = jax.jit(run, donate_argnums=(1,) if donate else ())
+
+    def partition(tree):
+        return partition_tree(tree, grid, py, px)
+
+    def unpartition(tree):
+        return jax.tree_util.tree_map(
+            lambda a: unpartition_array(a, grid, py, px)
+            if _is_stacked(a, nxp_loc) else a, tree)
+
+    def step_fn(state_stacked, t, dt):
+        return jitted(model_stacked, state_stacked, t, dt)
+
+    return step_fn, partition, unpartition

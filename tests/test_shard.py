@@ -94,3 +94,45 @@ def test_sharded_step_matches_single_device():
         b = np.asarray(grid.interior(s_back[k]))
         scale = max(float(np.abs(a).max()), 1e-10)
         assert np.abs(a - b).max() / scale < 1e-5, k
+
+
+def test_sharded_coupled_step_matches_single_device():
+    """FULL coupled step (atmosphere interp + bulk fluxes + EVP sea ice +
+    ocean) under shard_map/ppermute vs the single-device step."""
+    from climaocean_tpu.coupler.atmosphere import synthetic_prescribed_atmosphere
+    from climaocean_tpu.models.coupled import OceanSeaIceModel, coupled_step
+    from climaocean_tpu.models.sea_ice import SeaIceModel
+    from climaocean_tpu.parallel.mesh import make_mesh
+    from climaocean_tpu.parallel.shard import make_sharded_coupled_step_fn
+
+    grid, ocean, state_o, _ = build()
+    ice = SeaIceModel(grid=grid, dynamics=True, substeps=10)
+    atmos = synthetic_prescribed_atmosphere(grid, 0.0, 86400.0)
+    model = OceanSeaIceModel(ocean=ocean, atmosphere=atmos, sea_ice=ice)
+    state = model.initial_state()
+    state["ocean"] = state_o
+    hi = np.zeros((grid.Nyp, grid.Nxp), np.float32)
+    hi[np.asarray(grid.lat_cc) > 55] = 1.2
+    state["sea_ice"]["thickness"] = jnp.asarray(hi)
+    state["sea_ice"]["concentration"] = jnp.asarray(
+        (hi > 0).astype(np.float32) * 0.9)
+
+    step1 = jax.jit(lambda s, t: coupled_step(model, s, t, 900.0))
+    s_ref = step1(step1(state, 0.0), 900.0)
+
+    mesh = make_mesh((2, 4))
+    step_s, part, unpart = make_sharded_coupled_step_fn(model, mesh,
+                                                        donate=False)
+    s_sh = step_s(step_s(part(state), 0.0, 900.0), 900.0, 900.0)
+    s_back = unpart(s_sh)
+
+    for k in ("u", "v", "T", "eta"):
+        a = np.asarray(grid.interior(s_ref["ocean"][k]))
+        b = np.asarray(grid.interior(s_back["ocean"][k]))
+        scale = max(float(np.abs(a).max()), 1e-10)
+        assert np.abs(a - b).max() / scale < 1e-5, f"ocean {k}"
+    for k in ("thickness", "concentration", "u", "v"):
+        a = np.asarray(grid.interior(s_ref["sea_ice"][k]))
+        b = np.asarray(grid.interior(s_back["sea_ice"][k]))
+        scale = max(float(np.abs(a).max()), 1e-10)
+        assert np.abs(a - b).max() / scale < 1e-5, f"ice {k}"
