@@ -97,12 +97,21 @@ def local_grid(grid, py, px):
 # --------------------------------------------------------------------------
 
 def halo_exchange(a, H, mesh_axes=("y", "x"), periodic_x=True,
-                  periodic_y=False):
+                  periodic_y=False, fold=None, location="c", fold_sign=1.0):
     """Exchange H-wide halo strips with mesh neighbors via ppermute.
 
     ``a``: local padded tile (..., ny+2H, nx+2H) inside shard_map.
     x exchange runs first, then y INCLUDING the x-halos, so corner halos are
     correct after two passes.
+
+    ``fold=(p, nx_loc)`` enables the tripolar northern fold (p = pole
+    face-column index from the grid kind): the mirror of a top tile's
+    padded column range is EXACTLY the padded range of tile
+    (2p/nx_loc − 1 − ix) mod px (requires nx_loc | 2p, true for the
+    standard p = Nx/2 pole), so the fold is one ppermute along x among the
+    top device row + a local column flip (u-faces shift by one) — the
+    distributed image of `grids.tripolar.fill_halos_tripolar`. A second x
+    pass afterwards repairs the fold rows' x-halo corners.
     """
     ay, ax = mesh_axes
 
@@ -113,14 +122,19 @@ def halo_exchange(a, H, mesh_axes=("y", "x"), periodic_x=True,
         perm = [((i + offset) % n, i) for i in range(n)]
         return jax.lax.ppermute(vals, axis_name, perm)
 
+    def x_pass(a):
+        nx = a.shape[-1]
+        left_edge = a[..., H:2 * H]
+        right_edge = a[..., nx - 2 * H:nx - H]
+        from_left = recv_from(right_edge, ax, -1)
+        from_right = recv_from(left_edge, ax, +1)
+        a = a.at[..., :H].set(from_left)
+        a = a.at[..., nx - H:].set(from_right)
+        return a
+
     # --- x direction ------------------------------------------------------
     nx = a.shape[-1]
-    left_edge = a[..., H:2 * H]               # my left interior edge
-    right_edge = a[..., nx - 2 * H:nx - H]
-    from_left = recv_from(right_edge, ax, -1)   # left neighbor's right edge
-    from_right = recv_from(left_edge, ax, +1)
-    a = a.at[..., :H].set(from_left)
-    a = a.at[..., nx - H:].set(from_right)
+    a = x_pass(a)
     if not periodic_x:
         ix = jax.lax.axis_index(ax)
         npx = jax.lax.axis_size(ax)
@@ -131,6 +145,11 @@ def halo_exchange(a, H, mesh_axes=("y", "x"), periodic_x=True,
 
     # --- y direction (strips include x halos -> corners correct) ----------
     ny = a.shape[-2]
+    # the v seam row (padded row ny−H) is PROGNOSTIC on tripolar grids and
+    # must survive into the fold symmetrization — capture it before the y
+    # exchange / north clamp overwrite it (single-device fills never touch
+    # it; the distributed y pass does)
+    pre_seam = a[..., ny - H:ny - H + 1, :] if fold is not None else None
     bot_edge = a[..., H:2 * H, :]
     top_edge = a[..., ny - 2 * H:ny - H, :]
     from_bot = recv_from(top_edge, ay, -1)    # south neighbor's top edge
@@ -145,6 +164,37 @@ def halo_exchange(a, H, mesh_axes=("y", "x"), periodic_x=True,
         a = jnp.where(iy == npy - 1,
                       a.at[..., ny - H:, :].set(a[..., ny - H - 1:ny - H, :]),
                       a)
+
+    # --- northern tripolar fold (top device row only) ----------------------
+    if fold is not None:
+        p, nx_loc = fold
+        px = jax.lax.axis_size(ax)
+        q = (2 * p) // nx_loc
+        # every device ships padded rows [ny-2H, ny-H]: its top H interior
+        # rows plus the (pre-y-pass) seam row itself (H+1 rows)
+        strip = jnp.concatenate([a[..., ny - 2 * H:ny - H, :], pre_seam],
+                                axis=-2)
+        perm = [((q - 1 - i) % px, i) for i in range(px)]
+        strip = jax.lax.ppermute(strip, ax, perm)
+        flip = strip[..., ::-1]                         # center mirror
+        if location == "u":
+            # face mirror is the center mirror shifted by one; column 0
+            # wraps off-tile and is repaired by the second x pass below
+            flip = jnp.roll(flip, 1, axis=-1)
+        s = fold_sign
+        if location == "v":
+            # ghost faces reflect about the seam row; the seam face itself
+            # is the antisymmetric average with its mirror partner
+            seam = 0.5 * (pre_seam + s * flip[..., H:H + 1, :])
+            ghosts = s * flip[..., H - 1:0:-1, :]       # rows H-1..1
+            north = jnp.concatenate([seam, ghosts], axis=-2)
+        else:
+            north = s * flip[..., H - 1::-1, :]         # rows H-1..0
+        iy = jax.lax.axis_index(ay)
+        npy = jax.lax.axis_size(ay)
+        a = jnp.where(iy == npy - 1,
+                      a.at[..., ny - H:, :].set(north), a)
+        a = x_pass(a)                                   # repair fold corners
     return a
 
 
@@ -155,6 +205,21 @@ def halo_exchange(a, H, mesh_axes=("y", "x"), periodic_x=True,
 def _is_stacked(a, nxp_loc):
     return (hasattr(a, "ndim") and a.ndim >= 3
             and a.shape[-1] == nxp_loc)
+
+
+def _fold_params(grid, px):
+    """(pole_face_index, nx_loc) for tripolar grids, else None. The
+    distributed fold requires the mirror of each tile's padded range to be
+    exactly one tile's padded range: nx_loc must divide 2p."""
+    if not grid.kind.startswith("tripolar:"):
+        return None
+    p = int(grid.kind.split(":")[1])
+    nx_loc = grid.Nx // px
+    assert (2 * p) % nx_loc == 0, \
+        (f"tripolar fold under shard_map needs nx_loc | 2p "
+         f"(p={p}, nx_loc={nx_loc}); choose a mesh with px dividing "
+         f"2p/nx_loc alignment")
+    return (p, nx_loc)
 
 
 def make_sharded_step_fn(model, mesh: Mesh, donate=True):
@@ -187,9 +252,13 @@ def make_sharded_step_fn(model, mesh: Mesh, donate=True):
     def spec_for(a):
         return P(("y", "x")) if _is_stacked(a, nxp_loc) else P()
 
+    fold = _fold_params(grid, px)
+
     def sharded_fill(a, g, location="c", vector=False):
         return halo_exchange(a, g.H, periodic_x=grid.periodic_x,
-                             periodic_y=grid.periodic_y)
+                             periodic_y=grid.periodic_y, fold=fold,
+                             location=location,
+                             fold_sign=-1.0 if vector else 1.0)
 
     def unstack(tree):
         return jax.tree_util.tree_map(
@@ -243,9 +312,8 @@ def make_sharded_coupled_step_fn(model, mesh: Mesh, donate=True):
     MPI `fill_halo_regions!` inside its substep loops.
 
     Returns (step_fn, partition_fn, unpartition_fn) with
-    ``step_fn(state_stacked, t, dt) -> state_stacked``. Tripolar grids are
-    not yet supported on this path (the fold exchange needs a dedicated
-    collective; use the GSPMD path there).
+    ``step_fn(state_stacked, t, dt) -> state_stacked``. Tripolar grids ride
+    the fold ppermute in `halo_exchange` (see `_fold_params`).
     """
     import dataclasses
 
@@ -256,12 +324,11 @@ def make_sharded_coupled_step_fn(model, mesh: Mesh, donate=True):
 
     py, px = mesh.devices.shape
     grid = model.ocean.grid
-    assert not grid.kind.startswith("tripolar"), \
-        "tripolar fold under shard_map not supported yet — use the SPMD path"
     assert grid.Ny % py == 0 and grid.Nx % px == 0, \
         f"(Ny={grid.Ny}, Nx={grid.Nx}) must divide the mesh {py}x{px}"
     nx_loc, ny_loc = grid.Nx // px, grid.Ny // py
     nxp_loc = nx_loc + 2 * grid.H
+    fold = _fold_params(grid, px)
 
     model_stacked = partition_tree(model, grid, py, px)
 
@@ -286,7 +353,9 @@ def make_sharded_coupled_step_fn(model, mesh: Mesh, donate=True):
 
     def sharded_fill(a, g, location="c", vector=False):
         return halo_exchange(a, g.H, periodic_x=grid.periodic_x,
-                             periodic_y=grid.periodic_y)
+                             periodic_y=grid.periodic_y, fold=fold,
+                             location=location,
+                             fold_sign=-1.0 if vector else 1.0)
 
     def _restack(a):
         return a[None] if (a.ndim >= 2 and a.shape[-1] == nxp_loc) else a

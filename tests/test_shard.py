@@ -96,6 +96,96 @@ def test_sharded_step_matches_single_device():
         assert np.abs(a - b).max() / scale < 1e-5, k
 
 
+def test_fold_exchange_matches_tripolar_fill():
+    """Distributed northern-fold exchange (ppermute along x among the top
+    device row + local flip) vs the single-device tripolar fill, for all
+    locations and both vector signs."""
+    from jax.sharding import PartitionSpec as P
+    from climaocean_tpu.grids.tripolar import (fill_halos_tripolar,
+                                               tripolar_grid)
+    from climaocean_tpu.parallel.mesh import make_mesh
+    from climaocean_tpu.parallel.shard import (_fold_params, halo_exchange,
+                                               partition_array)
+    from climaocean_tpu.utils.compat import shard_map
+
+    # first_pole_longitude=45 → pole face column p=20 for Nx=32, and
+    # nx_loc=8 divides 2p=40 (the distributed-fold alignment condition)
+    grid = tripolar_grid((32, 16, 3), southernmost_latitude=-80, halo=4,
+                         first_pole_longitude=45.0)
+    H = grid.H
+    py, px = 2, 4
+    mesh = make_mesh((py, px))
+    fold = _fold_params(grid, px)
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(size=(3, grid.Nyp, grid.Nxp))
+                    .astype(np.float32))
+    ast = partition_array(a, grid, py, px)
+    ny_loc, nx_loc = grid.Ny // py, grid.Nx // px
+
+    for loc, sign in (("c", 1.0), ("u", -1.0), ("v", -1.0), ("c", -1.0)):
+        truth = fill_halos_tripolar(a, grid, loc, sign)
+        ex = shard_map(
+            lambda t: halo_exchange(t[0], H, periodic_x=True,
+                                    periodic_y=False, fold=fold,
+                                    location=loc, fold_sign=sign)[None],
+            mesh=mesh, in_specs=P(("y", "x")), out_specs=P(("y", "x")))(ast)
+        idx = 0
+        for j in range(py):
+            for i in range(px):
+                y0, x0 = j * ny_loc, i * nx_loc
+                want = np.asarray(truth[:, y0:y0 + ny_loc + 2 * H,
+                                        x0:x0 + nx_loc + 2 * H])
+                got = np.asarray(ex[idx])
+                # u-location: the outermost west halo column of the fold
+                # rows wraps off-tile; the repair x-pass fills it from the
+                # neighbor's post-fold rows, equivalent to the global map
+                np.testing.assert_allclose(got, want, atol=1e-6,
+                                           err_msg=f"{loc} tile {j},{i}")
+                idx += 1
+
+
+def test_sharded_tripolar_step_matches_single_device():
+    """Ocean step on a TRIPOLAR grid under shard_map — the northern fold
+    rides the ppermute exchange — vs the single-device step."""
+    from climaocean_tpu.closures.catke import CATKEVerticalDiffusivity
+    from climaocean_tpu.grids.tripolar import tripolar_grid
+    from climaocean_tpu.models import hydrostatic as hm
+    from climaocean_tpu.models.hydrostatic import (HydrostaticModel,
+                                                   SurfaceFluxes)
+    from climaocean_tpu.parallel.mesh import make_mesh
+    from climaocean_tpu.parallel.shard import make_sharded_step_fn
+
+    grid = tripolar_grid((32, 16, 4), southernmost_latitude=-78, halo=4,
+                         first_pole_longitude=45.0, z=(-2000.0, 0.0))
+    model = HydrostaticModel(grid=grid, substeps=8,
+                             closures=(CATKEVerticalDiffusivity(),))
+    state = model.initial_state()
+    rng = np.random.default_rng(11)
+    H = grid.H
+    Tp = np.full(grid.padded_shape, 10.0, np.float32)
+    Tp[:, H:H + grid.Ny, H:H + grid.Nx] += rng.uniform(
+        -2, 2, (grid.Nz, grid.Ny, grid.Nx))
+    state["T"] = jnp.asarray(Tp)
+    tau = (5e-5 * np.cos(np.deg2rad(np.asarray(grid.lat_cc)))).astype(
+        np.float32)
+    fluxes = SurfaceFluxes.zeros(grid)._replace(tau_x=jnp.asarray(tau))
+
+    step1 = jax.jit(lambda s: hm.step(model, s, fluxes, 600.0))
+    s_ref = step1(step1(state))
+
+    mesh = make_mesh((2, 4))
+    step_s, part, unpart = make_sharded_step_fn(model, mesh, donate=False)
+    f_sh = part(fluxes)
+    s_sh = step_s(step_s(part(state), f_sh, 600.0), f_sh, 600.0)
+    s_back = unpart(s_sh)
+
+    for k in ("u", "v", "T", "eta"):
+        a = np.asarray(grid.interior(s_ref[k]))
+        b = np.asarray(grid.interior(s_back[k]))
+        scale = max(float(np.abs(a).max()), 1e-10)
+        assert np.abs(a - b).max() / scale < 2e-5, k
+
+
 def test_sharded_coupled_step_matches_single_device():
     """FULL coupled step (atmosphere interp + bulk fluxes + EVP sea ice +
     ocean) under shard_map/ppermute vs the single-device step."""
