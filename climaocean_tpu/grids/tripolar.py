@@ -43,10 +43,16 @@ def _great_circle(lon1, lat1, lon2, lat2, radius=R_EARTH):
 def tripolar_grid(size, southernmost_latitude=-80.0, halo=4,
                   z=(-6000.0, 0.0), north_poles_latitude=55.0,
                   first_pole_longitude=70.0, joint_latitude=None,
-                  radius=R_EARTH):
+                  radius=R_EARTH, fold_alignment_px=None):
     """Build a tripolar `Grid` (see module docstring).
 
     ``size = (Nx, Ny, Nz)``; defaults mirror Oceananigans' TripolarGrid.
+
+    ``fold_alignment_px``: if set, additionally snap the pole face column p
+    so the distributed fold exchange works on an x-mesh of that many
+    devices (`parallel.shard` needs (Nx/px) | 2p — the mirror of one tile's
+    padded range must be exactly one tile's padded range). The pole moves
+    by at most half the alignment granularity in longitude.
     """
     Nx, Ny, Nz = size
     H = halo
@@ -57,6 +63,12 @@ def tripolar_grid(size, southernmost_latitude=-80.0, halo=4,
     # snap the pole longitude to a face column so the fold mirror maps
     # centers to centers
     p = int(round((first_pole_longitude + 180.0) / dlam))
+    if fold_alignment_px:
+        nx_loc = Nx // int(fold_alignment_px)
+        # smallest granularity g with g | p and (Nx/px) | 2p: 2p = k·nx_loc
+        # → p multiple of nx_loc/2 (nx_loc even) or nx_loc (odd)
+        g = nx_loc // 2 if nx_loc % 2 == 0 else nx_loc
+        p = int(round(p / g)) * g
     first_pole_longitude = -180.0 + p * dlam
 
     a = np.tan(np.deg2rad(90.0 - north_poles_latitude) / 2.0)

@@ -85,3 +85,15 @@ def test_rest_state_preserved():
     s = step(step(state))
     assert float(jnp.abs(s["u"]).max()) == 0.0
     assert float(jnp.abs(s["eta"]).max()) == 0.0
+
+
+def test_fold_alignment_px():
+    """fold_alignment_px snaps the pole column so the distributed fold
+    (parallel.shard) works on x-meshes up to the requested width."""
+    from climaocean_tpu.parallel.shard import _fold_params
+
+    g = tripolar_grid((360, 30, 2), fold_alignment_px=8)
+    p = int(g.kind.split(":")[1])
+    for px in (2, 4, 8):
+        fp = _fold_params(g, px)
+        assert fp == (p, 360 // px)
