@@ -20,7 +20,7 @@ import os
 from ..data.bathymetry import regrid_bathymetry
 from ..data.metadata import Metadatum, WOAAnnual, set_fields
 from ..grids.grid import with_bottom_height
-from ..grids.tripolar import tripolar_grid
+from ..grids.tripolar import dry_unresolvable_cells, tripolar_grid
 from .ocean import ocean_simulation, vertical_coordinate
 
 
@@ -40,6 +40,7 @@ def ORCAGrid(dataset="ORCA1", Nz=60, depth=6000.0, halo=4,
     if with_bathymetry:
         bottom = regrid_bathymetry(grid, minimum_depth=10.0, major_basins=2,
                                    interpolation_passes=10, dir=dir)
+        bottom = dry_unresolvable_cells(grid, bottom)
         grid = with_bottom_height(grid, bottom, minimum_depth=10.0)
     return grid
 

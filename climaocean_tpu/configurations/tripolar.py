@@ -27,7 +27,7 @@ from ..closures.scalar_diffusivity import (HorizontalScalarBiharmonicDiffusivity
 from ..data.bathymetry import regrid_bathymetry
 from ..data.metadata import Metadatum, WOAAnnual, set_fields
 from ..grids.grid import with_bottom_height
-from ..grids.tripolar import tripolar_grid
+from ..grids.tripolar import dry_unresolvable_cells, tripolar_grid
 from ..utils.units import days
 from .ocean import ocean_simulation, vertical_coordinate
 
@@ -55,6 +55,14 @@ def _build(Nx, Ny, Nz, depth, halo, substeps, minimum_depth, passes, basins,
     bottom = regrid_bathymetry(grid, minimum_depth=minimum_depth,
                                major_basins=basins,
                                interpolation_passes=passes, dir=dir)
+    # the synthetic bathymetry does not guarantee the tripolar poles sit
+    # over land like eORCA's does — dry the CFL-unresolvable pole caps,
+    # then re-apply the basin filter so cap-drying cannot leave isolated
+    # wet puddles (they cool without limit in ocean-only runs)
+    bottom = dry_unresolvable_cells(grid, bottom)
+    if basins is not None:
+        from ..data.bathymetry import keep_major_basins
+        bottom = keep_major_basins(bottom, basins, grid.periodic_x)
     grid = with_bottom_height(grid, bottom, minimum_depth=minimum_depth)
     model = ocean_simulation(
         grid,

@@ -203,6 +203,35 @@ def tripolar_grid(size, southernmost_latitude=-80.0, halo=4,
 # fold halo exchange
 # --------------------------------------------------------------------------
 
+def dry_unresolvable_cells(grid, bottom, fraction=0.35):
+    """Force land wherever the horizontal cell size collapses below
+    ``fraction`` of what a regular latitude-longitude grid would have at
+    that latitude — the disks around the two northern poles, where
+    constant-u curves converge.
+
+    The reference guarantees this by construction: eORCA's poles "sit over
+    land" (both default poles are inside real continents) so the real
+    bathymetry masks the shrunken cells. The synthetic bathymetry has no
+    such guarantee, and wet pole-cap cells are dynamically unresolvable:
+    measured at 1°/Δt=20 min, a wet rim at the −110°E pole develops a
+    2.5 m/s jet and unbounded cooling ocean-only, and a 7.8 m/s jet with
+    the ice-ocean stress feedback — the pole caps must be land like the
+    reference's are. The cos(lat) normalization keeps every regular
+    high-latitude row (Antarctic shelf included) wet at any fraction < 1.
+    ``bottom``: interior (Ny, Nx) array; returns a copy with the
+    unresolvable cells set to land (+0.1)."""
+    H = grid.H
+    nominal = R_EARTH * DEG2RAD * (360.0 / grid.Nx)
+    lat = np.asarray(grid.lat_cc)[H:H + grid.Ny, H:H + grid.Nx]
+    coslat = np.maximum(np.cos(np.deg2rad(lat)), 0.05)
+    dx = np.asarray(grid.dx_cc)[H:H + grid.Ny, H:H + grid.Nx]
+    dy = np.asarray(grid.dy_cc)[H:H + grid.Ny, H:H + grid.Nx]
+    small = np.minimum(dx / coslat, dy) < fraction * nominal
+    out = np.array(bottom, copy=True)
+    out[small] = 0.1
+    return out
+
+
 def fill_halos_tripolar(a, grid, location="c", fold_sign=1.0):
     """Halo fill for tripolar fields: periodic x, zero-gradient south,
     fold north. ``location``: "c" | "u" | "v"; ``fold_sign``: −1 for
