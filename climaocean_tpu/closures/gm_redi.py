@@ -68,8 +68,9 @@ class IsopycnalSkewSymmetricDiffusivity:
         """Diagonal vertical Redi piece κ_R |S|², implicit."""
         Sx, Sy, tx, ty = self._slopes(grid, aux)
         # |S|² at w-faces: interp face-located slopes to centers then faces
-        Sx_c = mxc(Sx * tx)
-        Sy_c = myc(Sy * ty)
+        # (wall-face slopes are spurious — see horizontal_tendencies)
+        Sx_c = mxc(Sx * tx * grid.wet_u)
+        Sy_c = myc(Sy * ty * grid.wet_v)
         S2_c = Sx_c ** 2 + Sy_c ** 2
         S2_w = jnp.concatenate([S2_c[:1], 0.5 * (S2_c[:-1] + S2_c[1:]),
                                 S2_c[-1:]], axis=0)
@@ -96,9 +97,14 @@ class IsopycnalSkewSymmetricDiffusivity:
                   - (kR - kGM) * ty * Sy * myf(dcdz_c)) * grid.wet_v
 
             # explicit vertical cross-flux at w-faces:
-            # −(κ_R+κ_GM)(Sx ∂x c + Sy ∂y c), interpolated to (c,c,f)
-            cross_c = (mxc(tx * Sx * dxf(c) / grid.dx_fc)
-                       + myc(ty * Sy * dyf(c) / grid.dy_cf))
+            # −(κ_R+κ_GM)(Sx ∂x c + Sy ∂y c), interpolated to (c,c,f).
+            # The face gradients MUST be wet-masked like Fx/Fy: at an
+            # immersed wall dxf(c) differences a land cell's masked value
+            # (≈0) against the ocean, a huge spurious gradient that drives
+            # an anti-diffusive vertical flux — measured at 1° as runaway
+            # subsurface cooling (T→−16 °C) along freshly-dried coastlines.
+            cross_c = (mxc(tx * Sx * dxf(c) / grid.dx_fc * grid.wet_u)
+                       + myc(ty * Sy * dyf(c) / grid.dy_cf * grid.wet_v))
             cross_w = jnp.concatenate(
                 [jnp.zeros_like(cross_c[:1]),
                  0.5 * (cross_c[:-1] + cross_c[1:]),
