@@ -133,6 +133,29 @@ def coupled_step(model, state, t, dt):
     # minimum-salinity clamp (omip_simulation.jl ocean_minimum_salinity = 1)
     ocean_new["S"] = jnp.maximum(ocean_new["S"], model.ocean_minimum_salinity
                                  * model.ocean.grid.wet_c)
+    if model.sea_ice is not None:
+        # COLUMN frazil: any sub-freezing water anywhere in the column
+        # releases latent heat back to the freezing point and the deficit
+        # becomes new surface ice (reference: ClimaSeaIce frazil coupling;
+        # NEMO does the same column sweep). The slab model's surface
+        # supercool term only guards the TOP cell — without this, deep
+        # supercooled cells (e.g. brine-convection at coastal rim cells,
+        # measured T→−21 °C at 1°) cool without bound.
+        from . import sea_ice as si
+        grid = model.ocean.grid
+        Tf3 = si.freezing_temperature(ocean_new["S"])
+        deficit = jnp.maximum(Tf3 - ocean_new["T"], 0.0) * grid.wet_c
+        ocean_new["T"] = ocean_new["T"] + deficit
+        dz3 = grid.dz_c[:, None, None]
+        frazil = (jnp.sum(deficit * dz3, axis=0) * RHO_OCEAN * CP_OCEAN
+                  / (si.RHO_ICE * si.L_FUSION))
+        ice = new_state["sea_ice"]
+        a0 = ice["concentration"]
+        new_state["sea_ice"] = dict(
+            ice,
+            thickness=jnp.clip(ice["thickness"] + frazil, 0.0, 20.0),
+            concentration=jnp.clip(a0 + (1.0 - a0) * frazil / si.H_NEW_ICE,
+                                   0.0, 1.0))
     new_state["ocean"] = ocean_new
     new_state["net_fluxes"] = {"tau_x": fluxes.tau_x, "tau_y": fluxes.tau_y,
                                "Q_T": fluxes.Q_T, "Q_S": fluxes.Q_S,

@@ -155,3 +155,33 @@ def test_sharded_coupled_step():
     out = jax.jit(lambda m, s: coupled_step(m, s, 0.0, 600.0))(model, state)
     jax.block_until_ready(out)
     assert not bool(jnp.isnan(out["ocean"]["T"]).any())
+
+
+def test_column_frazil_limits_supercooling():
+    """Sub-freezing water ANYWHERE in the column is restored to the
+    freezing point and the heat deficit becomes new surface ice (reference:
+    ClimaSeaIce frazil coupling). Guards the 1-degree rim-cell runaway
+    (T drifted to -21 C with only the top-cell supercool term)."""
+    from climaocean_tpu.coupler.atmosphere import synthetic_prescribed_atmosphere
+    from climaocean_tpu.models.coupled import OceanSeaIceModel, make_coupled_step_fn
+    from climaocean_tpu.models.sea_ice import SeaIceModel, freezing_temperature
+
+    grid = make_grid(16, 8, 6)
+    ocean = HydrostaticModel(grid=grid, substeps=6)
+    ice = SeaIceModel(grid=grid, dynamics=False)
+    atmos = synthetic_prescribed_atmosphere(grid, 0.0, 86400.0)
+    model = OceanSeaIceModel(ocean=ocean, atmosphere=atmos, sea_ice=ice)
+    state = model.initial_state()
+    # supercool an interior cell (k = Nz-3) well below freezing
+    T = np.zeros(grid.padded_shape, np.float32) + 2.0
+    T[grid.Nz - 3, :, :] = -10.0
+    state["ocean"]["T"] = jnp.asarray(T)
+
+    step = make_coupled_step_fn(model, donate=False)
+    s = step(state, 0.0, 600.0)
+    Tn = np.asarray(s["ocean"]["T"])
+    Sf = np.asarray(freezing_temperature(s["ocean"]["S"]))
+    wet = np.asarray(grid.wet_c) > 0
+    assert (Tn[wet] >= Sf[wet] - 1e-3).all(), "supercooling survived"
+    # the deficit became ice
+    assert float(s["sea_ice"]["thickness"].max()) > 0.5
