@@ -30,13 +30,27 @@ def ORCAGrid(dataset="ORCA1", Nz=60, depth=6000.0, halo=4,
     ``dir``; analytic tripolar stand-in otherwise."""
     mesh_path = os.path.join(dir, f"{str(dataset).lower()}_mesh.npz")
     if os.path.exists(mesh_path):
-        raise NotImplementedError(
-            "file-backed ORCA mesh reading lands with the NetCDF ingestion "
-            "round; place-holder kept so call sites are stable")
-    grid = tripolar_grid((360, 331, Nz), southernmost_latitude=-84.0,
-                         halo=halo, z=vertical_coordinate(Nz, depth, zstar),
-                         north_poles_latitude=50.0,
-                         first_pole_longitude=73.0)
+        # ORCA-style .npz mesh: supergrid node coordinates `lon`/`lat` of
+        # shape (2Ny+1, 2Nx) (NEMO convention, seam last), optional `p`
+        # (pole face column; inferred from the fold symmetry otherwise)
+        # and optional interior `bottom_height` (Ny, Nx)
+        import numpy as np
+
+        from ..grids.tripolar import tripolar_grid_from_supergrid
+        mesh = np.load(mesh_path)
+        grid = tripolar_grid_from_supergrid(
+            mesh["lon"], mesh["lat"], Nz,
+            z=vertical_coordinate(Nz, depth, zstar), halo=halo,
+            p=int(mesh["p"]) if "p" in mesh else None)
+        if with_bathymetry and "bottom_height" in mesh:
+            bottom = dry_unresolvable_cells(grid, mesh["bottom_height"])
+            return with_bottom_height(grid, bottom, minimum_depth=10.0)
+    else:
+        grid = tripolar_grid((360, 331, Nz), southernmost_latitude=-84.0,
+                             halo=halo,
+                             z=vertical_coordinate(Nz, depth, zstar),
+                             north_poles_latitude=50.0,
+                             first_pole_longitude=73.0)
     if with_bathymetry:
         bottom = regrid_bathymetry(grid, minimum_depth=10.0, major_basins=2,
                                    interpolation_passes=10, dir=dir)

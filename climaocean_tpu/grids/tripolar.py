@@ -43,7 +43,8 @@ def _great_circle(lon1, lat1, lon2, lat2, radius=R_EARTH):
 def tripolar_grid(size, southernmost_latitude=-80.0, halo=4,
                   z=(-6000.0, 0.0), north_poles_latitude=55.0,
                   first_pole_longitude=70.0, joint_latitude=None,
-                  radius=R_EARTH, fold_alignment_px=None):
+                  radius=R_EARTH, fold_alignment_px=None,
+                  _return_lattice=False):
     """Build a tripolar `Grid` (see module docstring).
 
     ``size = (Nx, Ny, Nz)``; defaults mirror Oceananigans' TripolarGrid.
@@ -133,6 +134,27 @@ def tripolar_grid(size, southernmost_latitude=-80.0, halo=4,
         lon_p[m, :] = lon_p[msrc, q_mirror]
         lat_p[m, :] = lat_p[msrc, q_mirror]
 
+    if _return_lattice:
+        # the one-period refined lattice + pole column — the supergrid
+        # export used to synthesize ORCA-style .npz mesh files
+        return lon_p, lat_p, p
+    return _grid_from_refined_lattice(lon_p, lat_p, p, Nx, Ny, Nz, H, z,
+                                      radius)
+
+
+def _grid_from_refined_lattice(lon_p, lat_p, p, Nx, Ny, Nz, H, z, radius):
+    """Finish a tripolar grid from the halo-extended one-period refined
+    lattice ``lon_p/lat_p`` of shape (2(Ny+2H)+1, 2Nx): pad columns, slice
+    the four staggered coordinate sets, and build metrics as great-circle
+    distances between neighboring lattice points. Shared by the analytic
+    `tripolar_grid` and the file-backed `tripolar_grid_from_supergrid`."""
+    Nxp = Nx + 2 * H
+    Nyp = Ny + 2 * H
+    nq = 2 * Nx
+    nfy = 2 * Nyp + 1
+    dlam = 360.0 / Nx
+    assert lon_p.shape == (nfy, nq), (lon_p.shape, (nfy, nq))
+
     # pad to the halo-extended refined array (periodic wrap, q offset -2H)
     nfx = 2 * Nxp + 1
     qpad = (np.arange(nfx) - 2 * H) % nq
@@ -197,6 +219,72 @@ def tripolar_grid(size, southernmost_latitude=-80.0, halo=4,
     return _finalize(f"tripolar:{p}", Nx, Ny, Nz, H, True, False,
                      lon_cc, lat_cc, lon_ff, lat_ff, lat_fc, lat_cf,
                      dx, dy, az, z_faces, None, rot=rot)
+
+
+def infer_pole_column(lon_seam, lat_seam):
+    """Infer the pole face-column index p from the seam row of a supergrid:
+    the fold maps refined column q to (2·2p − q) mod 2Nx onto the SAME
+    physical point, so the true p minimizes the great-circle mismatch of
+    the seam with its mirrored self."""
+    nq = lon_seam.shape[0]
+    best, best_err = 0, np.inf
+    for p in range(nq // 2):
+        qm = (2 * (2 * p) - np.arange(nq)) % nq
+        err = float(np.sum(_great_circle(lon_seam, lat_seam,
+                                         lon_seam[qm], lat_seam[qm], 1.0)))
+        if err < best_err:
+            best, best_err = p, err
+    return best
+
+
+def tripolar_grid_from_supergrid(lon_sg, lat_sg, Nz, z=(-6000.0, 0.0),
+                                 halo=4, p=None, radius=R_EARTH):
+    """Build a tripolar `Grid` from a file-provided supergrid — the
+    NEMO/eORCA mesh convention: node coordinates on the refined lattice
+    covering every face AND center, shape (2·Ny+1, 2·Nx) with periodic x
+    (column q ↔ longitude index q/2) and row 2·Ny the northern fold seam.
+    This is the TPU-native substitute for the reference's ORCA mesh
+    artifact ingestion (`orca.jl` ORCAGrid(dataset=ORCA1())): metrics are
+    recomputed as great-circle distances from the node coordinates.
+
+    ``p``: pole face-column index; inferred from the seam's fold symmetry
+    when omitted. South halo rows extrapolate the ladder; north ghost rows
+    mirror across the seam exactly like the analytic constructor."""
+    lon_sg = np.asarray(lon_sg, dtype=np.float64)
+    lat_sg = np.asarray(lat_sg, dtype=np.float64)
+    ny2, nq = lon_sg.shape
+    assert ny2 % 2 == 1 and nq % 2 == 0, \
+        "supergrid must be (2Ny+1, 2Nx) with the seam as the last row"
+    Ny, Nx = (ny2 - 1) // 2, nq // 2
+    H = halo
+    Nyp = Ny + 2 * H
+    nfy = 2 * Nyp + 1
+    m_top = 2 * (H + Ny)
+
+    if p is None:
+        p = infer_pole_column(lon_sg[-1], lat_sg[-1])
+
+    lon_p = np.zeros((nfy, nq))
+    lat_p = np.zeros((nfy, nq))
+    lon_p[2 * H:2 * H + ny2] = lon_sg
+    lat_p[2 * H:2 * H + ny2] = lat_sg
+
+    # south ghost rows: reflect the ladder about the southern boundary row
+    for m in range(2 * H):
+        msrc = 4 * H - m
+        lat_p[m, :] = np.clip(2 * lat_p[2 * H, :] - lat_p[msrc, :],
+                              -89.95, 89.95)
+        lon_p[m, :] = lon_p[msrc, :]
+
+    # north ghost rows: mirror about the seam and the fold axis
+    q_mirror = (2 * (2 * p) - np.arange(nq)) % nq
+    for m in range(m_top + 1, nfy):
+        msrc = 2 * m_top - m
+        lon_p[m, :] = lon_p[msrc, q_mirror]
+        lat_p[m, :] = lat_p[msrc, q_mirror]
+
+    return _grid_from_refined_lattice(lon_p, lat_p, p, Nx, Ny, Nz, H, z,
+                                      radius)
 
 
 # --------------------------------------------------------------------------

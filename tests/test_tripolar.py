@@ -97,3 +97,57 @@ def test_fold_alignment_px():
     for px in (2, 4, 8):
         fp = _fold_params(g, px)
         assert fp == (p, 360 // px)
+
+
+def test_supergrid_roundtrip():
+    """tripolar_grid_from_supergrid rebuilds the analytic grid exactly from
+    its exported one-period lattice (the ORCA .npz mesh path), including
+    pole-column inference from the seam's fold symmetry."""
+    import dataclasses
+
+    import numpy as np
+
+    from climaocean_tpu.grids.tripolar import (tripolar_grid,
+                                               tripolar_grid_from_supergrid)
+
+    kw = dict(southernmost_latitude=-78, halo=4, z=(-2000.0, 0.0))
+    lon_p, lat_p, p = tripolar_grid((36, 18, 3), _return_lattice=True, **kw)
+    g_ref = tripolar_grid((36, 18, 3), **kw)
+
+    H, Ny = 4, 18
+    sg_rows = slice(2 * H, 2 * H + 2 * Ny + 1)
+    g_file = tripolar_grid_from_supergrid(lon_p[sg_rows], lat_p[sg_rows], 3,
+                                          z=(-2000.0, 0.0), halo=4)
+    # p is inferred up to the two-pole degeneracy: p and p+Nx/2 generate
+    # the SAME fold map (it only uses 2p mod Nx)
+    p_file = int(g_file.kind.split(":")[1])
+    p_ref = int(g_ref.kind.split(":")[1])
+    assert (2 * (p_file - p_ref)) % 36 == 0
+    for f in dataclasses.fields(g_ref):
+        a, b = getattr(g_ref, f.name), getattr(g_file, f.name)
+        if hasattr(a, "shape"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f.name)
+
+
+def test_orca_npz_mesh(tmp_path):
+    """ORCAGrid loads an .npz supergrid mesh + bathymetry when present."""
+    import numpy as np
+
+    from climaocean_tpu.configurations.orca import ORCAGrid
+    from climaocean_tpu.grids.tripolar import tripolar_grid
+
+    lon_p, lat_p, p = tripolar_grid((36, 18, 3), southernmost_latitude=-78,
+                                    halo=4, _return_lattice=True)
+    H, Ny, Nx = 4, 18, 36
+    rows = slice(2 * H, 2 * H + 2 * Ny + 1)
+    rng = np.random.default_rng(0)
+    bottom = -3000.0 + 100.0 * rng.random((Ny, Nx))
+    np.savez(tmp_path / "orca1_mesh.npz", lon=lon_p[rows], lat=lat_p[rows],
+             p=p, bottom_height=bottom)
+    g = ORCAGrid(Nz=3, depth=2000.0, dir=str(tmp_path))
+    assert g.kind == f"tripolar:{p}"
+    assert g.Nx == Nx and g.Ny == Ny
+    # bathymetry applied (some wet cells, pole caps dry)
+    assert float(np.asarray(g.wet_c).sum()) > 0
