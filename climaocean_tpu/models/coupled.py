@@ -120,6 +120,8 @@ def coupled_step(model, state, t, dt):
         # the ice fraction also rides along so closures can damp their
         # wave-driven TKE sources by (1 − ℵ) (NEMO-TKE nn_etau path)
         a = ice_state["concentration"]
+        open_Q_T = (1 - a) * fluxes.Q_T
+        open_Q_S = (1 - a) * fluxes.Q_S
         fluxes = SurfaceFluxes(
             tau_x=(1 - a) * fluxes.tau_x + a * ice_ocean.tau_x,
             tau_y=(1 - a) * fluxes.tau_y + a * ice_ocean.tau_y,
@@ -147,6 +149,7 @@ def coupled_step(model, state, t, dt):
         deficit = jnp.maximum(Tf3 - ocean_new["T"], 0.0) * grid.wet_c
         ocean_new["T"] = ocean_new["T"] + deficit
         dz3 = grid.dz_c[:, None, None]
+        frazil_heat = jnp.sum(deficit * dz3, axis=0) / dt   # K·m/s into ocean
         frazil = (jnp.sum(deficit * dz3, axis=0) * RHO_OCEAN * CP_OCEAN
                   / (si.RHO_ICE * si.L_FUSION))
         ice = new_state["sea_ice"]
@@ -157,9 +160,21 @@ def coupled_step(model, state, t, dt):
             concentration=jnp.clip(a0 + (1.0 - a0) * frazil / si.H_NEW_ICE,
                                    0.0, 1.0))
     new_state["ocean"] = ocean_new
+    # flux decomposition diagnostics mirroring the reference's
+    # `interfaces.net_fluxes` accessors (omip_diagnostics.jl:84-89):
+    # atmosphere_ocean_* is the open-water share, sea_ice_ocean_* the
+    # under-ice share, frazil_* the column supercooling heat release
+    decomp = {}
+    if model.sea_ice is not None:
+        decomp = {
+            "frazil_temperature_flux": frazil_heat,
+            "sea_ice_ocean_temperature_flux": fluxes.Q_T - open_Q_T,
+            "atmosphere_ocean_temperature_flux": open_Q_T,
+            "sea_ice_ocean_salinity_flux": fluxes.Q_S - open_Q_S,
+        }
     new_state["net_fluxes"] = {"tau_x": fluxes.tau_x, "tau_y": fluxes.tau_y,
                                "Q_T": fluxes.Q_T, "Q_S": fluxes.Q_S,
-                               "Q_sw": fluxes.Q_sw, **diags}
+                               "Q_sw": fluxes.Q_sw, **diags, **decomp}
     return new_state
 
 

@@ -77,3 +77,35 @@ def test_checkpoint_roundtrip(tmp_path):
     s2, it, t = read_checkpoint(p)
     assert it == 20 and t == 7200.0
     np.testing.assert_allclose(np.asarray(s2["sea_ice"]["h"]), 2.0)
+
+
+def test_diffuse_tracers():
+    """Initial-condition smoothing: conserves tracer content exactly
+    (no-flux walls), reduces variance, and restores masked cells
+    (reference InitialConditions/diffuse_tracers.jl)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from climaocean_tpu.grids.grid import latitude_longitude_grid
+    from climaocean_tpu.data.diffuse_tracers import diffuse_tracers
+
+    grid = latitude_longitude_grid((24, 12, 5), latitude=(-40, 40),
+                                   z=(-500.0, 0.0))
+    rng = np.random.default_rng(0)
+    H = grid.H
+    T = np.zeros(grid.padded_shape, np.float32)
+    T[:, H:H + 12, H:H + 24] = rng.normal(10, 2, (5, 12, 24))
+    T = jnp.asarray(T)
+    vol = grid.az_cc * grid.dz_c[:, None, None] * grid.wet_c
+
+    out = diffuse_tracers(grid, {"T": T}, steps=20)["T"]
+    m0 = float(jnp.sum(grid.interior(T * vol)))
+    m1 = float(jnp.sum(grid.interior(out * vol)))
+    assert abs(m1 - m0) / abs(m0) < 1e-5
+    v0 = float(jnp.var(grid.interior(T)[grid.interior(grid.wet_c) > 0]))
+    v1 = float(jnp.var(grid.interior(out)[grid.interior(grid.wet_c) > 0]))
+    assert v1 < 0.7 * v0
+
+    mask = np.zeros(grid.padded_shape, bool)
+    mask[:, H + 3:H + 6, H + 3:H + 6] = True
+    out2 = diffuse_tracers(grid, {"T": T}, steps=5, mask=mask)["T"]
+    np.testing.assert_array_equal(np.asarray(out2)[mask], np.asarray(T)[mask])
