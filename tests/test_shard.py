@@ -226,3 +226,48 @@ def test_sharded_coupled_step_matches_single_device():
         b = np.asarray(grid.interior(s_back["sea_ice"][k]))
         scale = max(float(np.abs(a).max()), 1e-10)
         assert np.abs(a - b).max() / scale < 1e-5, f"ice {k}"
+
+
+def test_sharded_tripolar_coupled_matches_single_device():
+    """Coupled step (bulk fluxes + EVP ice + ocean) on a TRIPOLAR grid
+    under shard_map — ice rides the fold ppermute too."""
+    from climaocean_tpu.coupler.atmosphere import synthetic_prescribed_atmosphere
+    from climaocean_tpu.grids.tripolar import tripolar_grid
+    from climaocean_tpu.models.coupled import OceanSeaIceModel, coupled_step
+    from climaocean_tpu.models.hydrostatic import HydrostaticModel
+    from climaocean_tpu.models.sea_ice import SeaIceModel
+    from climaocean_tpu.parallel.mesh import make_mesh
+    from climaocean_tpu.parallel.shard import make_sharded_coupled_step_fn
+
+    grid = tripolar_grid((32, 16, 4), southernmost_latitude=-78, halo=4,
+                         first_pole_longitude=45.0, z=(-2000.0, 0.0))
+    ocean = HydrostaticModel(grid=grid, substeps=6)
+    ice = SeaIceModel(grid=grid, dynamics=True, substeps=8)
+    atmos = synthetic_prescribed_atmosphere(grid, 0.0, 86400.0)
+    model = OceanSeaIceModel(ocean=ocean, atmosphere=atmos, sea_ice=ice)
+    state = model.initial_state()
+    state["ocean"]["T"] = state["ocean"]["T"] * 0 - 1.0
+    hi = np.zeros((grid.Nyp, grid.Nxp), np.float32)
+    hi[np.asarray(grid.lat_cc) > 60] = 1.0      # ice over the fold
+    state["sea_ice"]["thickness"] = jnp.asarray(hi)
+    state["sea_ice"]["concentration"] = jnp.asarray(
+        (hi > 0).astype(np.float32) * 0.8)
+
+    step1 = jax.jit(lambda s, t: coupled_step(model, s, t, 600.0))
+    s_ref = step1(step1(state, 0.0), 600.0)
+
+    mesh = make_mesh((2, 4))
+    step_s, part, unpart = make_sharded_coupled_step_fn(model, mesh,
+                                                        donate=False)
+    s_back = unpart(step_s(step_s(part(state), 0.0, 600.0), 600.0, 600.0))
+
+    for k in ("u", "v", "T", "eta"):
+        a = np.asarray(grid.interior(s_ref["ocean"][k]))
+        b = np.asarray(grid.interior(s_back["ocean"][k]))
+        scale = max(float(np.abs(a).max()), 1e-10)
+        assert np.abs(a - b).max() / scale < 2e-5, f"ocean {k}"
+    for k in ("thickness", "u", "v"):
+        a = np.asarray(grid.interior(s_ref["sea_ice"][k]))
+        b = np.asarray(grid.interior(s_back["sea_ice"][k]))
+        scale = max(float(np.abs(a).max()), 1e-10)
+        assert np.abs(a - b).max() / scale < 2e-5, f"ice {k}"
