@@ -110,8 +110,9 @@ class HydrostaticModel:
     # ROMS ordering: advect tracers AFTER the barotropic solve with
     # velocities corrected to the mass-consistent effective transports —
     # same op count, and a constant tracer is exactly constant under z★
-    # (`tracer_advection_tendency`). Applies to the RK3 steppers; AB2 keeps
-    # single-evaluation ordering (G_prev must contain advection).
+    # for the RK3 steppers (`tracer_advection_tendency`). AB2 uses the
+    # same ordering; its G-history blend makes constancy approximate
+    # (inherent to AB2, as in the reference).
     consistent_transport: bool = True
 
     def initial_state(self, T=None, S=None):
@@ -444,7 +445,9 @@ def ab2_step(model, state, fluxes, dt):
     implicit vertical solve run once over the full Δt."""
     grid = model.grid
     chi = model.ab2_chi
-    G, aux, state_f = tendencies(model, state, fluxes)
+    roms = model.consistent_transport
+    G, aux, state_f = tendencies(model, state, fluxes,
+                                 tracer_advection=not roms)
     Gp = state.get("G_prev")
     first = state.get("ab2_first", jnp.ones(()))
     # forward Euler on the very first step (no history yet)
@@ -467,6 +470,16 @@ def ab2_step(model, state, fluxes, dt):
         lambda a: fill_halos(a, grid), model.g,
         fill_U=lambda a: fill_halos(a, grid, "u", vector=True),
         fill_V=lambda a: fill_halos(a, grid, "v", vector=True))
+
+    if roms:
+        # ROMS ordering for AB2 too: tracer advection runs AFTER the
+        # barotropic solve with mass-consistent velocities; the advective
+        # tendency joins G before it is stored as G_prev, so the AB2 blend
+        # of the NEXT step sees the full tendency history.
+        adv_T, adv_S = tracer_advection_tendency(model, state_f, averaged)
+        G = dict(G, T=G["T"] + adv_T, S=G["S"] + adv_S)
+        Gb["T"] = blend("T")
+        Gb["S"] = blend("S")
 
     new = dict(state)
     new["u"] = (state["u"] + dt * Gb["u"]) * grid.wet_u

@@ -68,3 +68,30 @@ def test_zstar_rest_state():
     s = step(step(state))
     assert float(jnp.abs(s["u"]).max()) == 0.0
     assert float(jnp.abs(s["eta"]).max()) == 0.0
+
+
+def test_zstar_seiche_ab2_consistency():
+    """AB2 with ROMS ordering: constant tracer preserved to the blend
+    residual (the G-history mix makes it approximate, unlike RK3's exact
+    roundoff-level preservation)."""
+    import dataclasses
+
+    grid, model, _ = seiche_setup(True)
+    model = dataclasses.replace(model, timestepper="QuasiAdamsBashforth2")
+    state = model.initial_state()
+    state["T"] = state["T"] + 15.0
+    H = grid.H
+    xx = np.arange(grid.Nxp)
+    eta0 = np.broadcast_to(
+        1.0 * np.sin(2 * np.pi * (xx - H) / 32)[None, :],
+        (grid.Nyp, grid.Nxp)).astype(np.float32)
+    state["eta"] = jnp.asarray(eta0.copy())
+    fluxes = SurfaceFluxes.zeros(grid)
+    step = jax.jit(lambda s: hm.step(model, s, fluxes, 30.0))
+    s = state
+    for _ in range(30):
+        s = step(s)
+    Ti = np.asarray(grid.interior(s["T"]))
+    wet = np.asarray(grid.interior(grid.wet_c)) > 0
+    assert abs(Ti[wet] - 15.0).max() < 0.01
+    assert float(jnp.abs(s["eta"]).max()) > 0.3
