@@ -26,6 +26,14 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def is_coordinator() -> bool:
+    """True on the rank-0 host — the TPU analogue of the reference's
+    `@root` SPMD discipline (jra55_data_staging.jl:2-5): filesystem
+    mutations (checkpoints, diagnostics, staging) happen on exactly one
+    process in a multi-host run."""
+    return jax.process_index() == 0
+
+
 def make_mesh(shape=None, devices=None) -> Mesh:
     """Create a ('y', 'x') mesh. ``shape=(Ry, Rx)`` like the reference's
     `Partition(Rx, Ry)`; defaults to a near-square factorization of all

@@ -44,6 +44,9 @@ def _unflatten(flat):
 
 
 def write_checkpoint(dir, state, iteration, time, prefix="checkpoint"):
+    from ..parallel.mesh import is_coordinator
+    if not is_coordinator():        # reference `@root` discipline: one
+        return None                 # writer per multi-host job
     os.makedirs(dir, exist_ok=True)
     flat = _flatten(state)
     flat["__clock__"] = np.array([iteration, time], dtype=np.float64)

@@ -165,6 +165,11 @@ class FieldWriter:
         if self.file_splitting is not None and \
                 len(self._records) < self.file_splitting:
             return
+        from ..parallel.mesh import is_coordinator
+        if not is_coordinator():    # reference `@root`: rank-0-only writes
+            self._records = []
+            self._part += 1
+            return
         path = os.path.join(self.dir, f"{self.prefix}_part{self._part}.npz")
         stacked = {}
         for k in self._records[0]:
