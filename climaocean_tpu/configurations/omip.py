@@ -99,11 +99,20 @@ def atmosphere_ocean_flux_solver(flux_configuration="default"):
     raise ValueError(f"Unknown flux_configuration: {flux_configuration}")
 
 
-def omip_forcing(grid, start_time=0.0, end_time=10 * days):
+def omip_forcing(grid, start_time=0.0, end_time=10 * days, forcing_dir=None,
+                 time_indices_in_memory=None):
     """Reference `omip_forcing` (`atmosphere.jl:13-49`): JRA55-do
     atmosphere + radiation (+ land runoff folded into the precip proxy).
-    File-backed JRA55 slots in behind the same PrescribedAtmosphere window;
+    When ``forcing_dir`` holds JRA55-style NetCDF files (one per shortname,
+    reference `jra55_data_staging.jl:8`), they back the window like
+    `JRA55PrescribedAtmosphere(arch; dir, time_indices_in_memory)`;
     zero-egress default is the analytic proxy at the JRA55 3-hour cadence."""
+    if forcing_dir is not None:
+        from ..coupler.atmosphere import netcdf_prescribed_atmosphere
+        from ..data.netcdf import find_netcdf
+        if find_netcdf(forcing_dir, "tas") is not None:
+            return netcdf_prescribed_atmosphere(
+                grid, forcing_dir, time_indices_in_memory=time_indices_in_memory)
     return synthetic_prescribed_atmosphere(grid, start_time, end_time)
 
 
@@ -123,8 +132,8 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
                     sea_ice_dynamics=True, normalize_salinity=True,
                     salinity_restoring=True, piston_velocity=0.5,
                     diagnostics=True, output_dir="output",
-                    forcing_end_time=None, progress_interval=10,
-                    Nz=None, **config_kw):
+                    forcing_end_time=None, forcing_dir=None,
+                    progress_interval=10, Nz=None, **config_kw):
     """Reference `omip_simulation` (`omip_simulation.jl:292-403`): build the
     coupled OMIP simulation for a named grid configuration. Returns a
     `Simulation` with progress (+STATE_HASH) callback and, when
@@ -156,7 +165,8 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
                               atmosphere_fluxes=default_ice_atmosphere_fluxes())
 
     atmos = omip_forcing(grid, 0.0,
-                         forcing_end_time or (stop_time or 30 * days) + days)
+                         forcing_end_time or (stop_time or 30 * days) + days,
+                         forcing_dir=forcing_dir)
     model = OceanSeaIceModel(
         ocean=ocean_model, atmosphere=atmos, sea_ice=sea_ice,
         atmosphere_ocean_fluxes=atmosphere_ocean_flux_solver(flux_configuration))

@@ -28,8 +28,24 @@ def ORCAGrid(dataset="ORCA1", Nz=60, depth=6000.0, halo=4,
              with_bathymetry=True, dir=".", zstar=False):
     """eORCA-style grid. File-backed when ``orca1_mesh.npz`` exists in
     ``dir``; analytic tripolar stand-in otherwise."""
+    import glob as _glob
+
+    nc_meshes = [p for pat in ("coordinates*.nc", "*mesh*.nc")
+                 for p in sorted(_glob.glob(os.path.join(dir, pat)))]
     mesh_path = os.path.join(dir, f"{str(dataset).lower()}_mesh.npz")
-    if os.path.exists(mesh_path):
+    if nc_meshes:
+        # NEMO coordinates.nc / mesh_mask.nc (glamt/gphit/... arrays) or a
+        # direct lon/lat supergrid NetCDF — the reference's ORCA1 artifact
+        from ..grids.tripolar import (supergrid_from_netcdf_mesh,
+                                      tripolar_grid_from_supergrid)
+        lon_sg, lat_sg, bottom = supergrid_from_netcdf_mesh(nc_meshes[0])
+        grid = tripolar_grid_from_supergrid(
+            lon_sg, lat_sg, Nz, z=vertical_coordinate(Nz, depth, zstar),
+            halo=halo)
+        if with_bathymetry and bottom is not None:
+            bottom = dry_unresolvable_cells(grid, bottom)
+            return with_bottom_height(grid, bottom, minimum_depth=10.0)
+    elif os.path.exists(mesh_path):
         # ORCA-style .npz mesh: supergrid node coordinates `lon`/`lat` of
         # shape (2Ny+1, 2Nx) (NEMO convention, seam last), optional `p`
         # (pole face column; inferred from the fold symmetry otherwise)

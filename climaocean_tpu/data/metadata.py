@@ -114,12 +114,20 @@ def _month_of(date) -> float | None:
 
 def load_native(meta: Metadatum):
     """Return (data[nz, nlat, nlon], z_f, lat_f, lon_f) on the dataset's
-    native grid: local file if present, else the analytic proxy."""
+    native grid: local file if present (.npz, or any NetCDF in ``dir``
+    holding the variable — reference `metadata_path` + NCDatasets read,
+    SURVEY.md §3.3), else the analytic proxy."""
     p = meta.path()
     if os.path.exists(p):
         with np.load(p) as f:
             return (np.asarray(f["data"], np.float64), f["z_faces"],
                     f["lat_f"], f["lon_f"])
+    from .netcdf import find_netcdf, load_field
+    nc_path = find_netcdf(meta.dir, meta.name)
+    if nc_path is not None:
+        month = _month_of(meta.date)
+        t_index = 0 if month is None else int(month) - 1
+        return load_field(nc_path, meta.name, time_index=t_index)
     if meta.name not in _SYNTH_VARS:
         raise KeyError(f"no local file at {p} and no synthetic proxy for "
                        f"'{meta.name}'")

@@ -353,3 +353,71 @@ def fill_halos_tripolar(a, grid, location="c", fold_sign=1.0):
             a = a.at[..., H + Ny + k, :].set(
                 fold_sign * jnp.take(a[..., H + Ny - 1 - k, :], idx, axis=-1))
     return a
+
+
+def supergrid_from_nemo(glamt, gphit, glamu, gphiu, glamv, gphiv,
+                        glamf, gphif):
+    """Assemble the (2Ny+1, 2Nx) supergrid lattice from NEMO-convention
+    mesh arrays (each (Ny, Nx)): t at cell centers, u at east faces of t,
+    v at north faces, f at north-east corners — the layout of NEMO
+    ``coordinates.nc`` / ``mesh_mask.nc`` files (the reference's ORCA1
+    artifact, `orca.jl` ORCAGrid; SURVEY.md §2b "ORCAGrid" row).
+
+    Supergrid convention (see `tripolar_grid_from_supergrid`): column
+    2i = west face of cell i, column 2i+1 = center i; row 0 = southern
+    boundary face row (extrapolated — NEMO files don't carry it), row
+    2Ny = the northern fold seam.
+    """
+    glamt, gphit = np.asarray(glamt), np.asarray(gphit)
+    Ny, Nx = glamt.shape
+    lon = np.zeros((2 * Ny + 1, 2 * Nx))
+    lat = np.zeros((2 * Ny + 1, 2 * Nx))
+    j = np.arange(Ny)
+    iw = (np.arange(Nx) - 1) % Nx           # west face of cell i = u/f col i-1
+    lon[2 * j[:, None] + 1, 2 * np.arange(Nx)[None, :] + 1] = glamt
+    lat[2 * j[:, None] + 1, 2 * np.arange(Nx)[None, :] + 1] = gphit
+    lon[2 * j[:, None] + 1, 2 * np.arange(Nx)[None, :]] = np.asarray(glamu)[:, iw]
+    lat[2 * j[:, None] + 1, 2 * np.arange(Nx)[None, :]] = np.asarray(gphiu)[:, iw]
+    lon[2 * j[:, None] + 2, 2 * np.arange(Nx)[None, :] + 1] = np.asarray(glamv)
+    lat[2 * j[:, None] + 2, 2 * np.arange(Nx)[None, :] + 1] = np.asarray(gphiv)
+    lon[2 * j[:, None] + 2, 2 * np.arange(Nx)[None, :]] = np.asarray(glamf)[:, iw]
+    lat[2 * j[:, None] + 2, 2 * np.arange(Nx)[None, :]] = np.asarray(gphif)[:, iw]
+    # southern boundary face row: linear ladder extrapolation
+    lat[0] = 2.0 * lat[1] - lat[2]
+    lon[0] = lon[2]
+    return lon, lat
+
+
+def supergrid_from_netcdf_mesh(path):
+    """Read an ORCA mesh NetCDF file: either a direct supergrid (`lon`,
+    `lat` arrays of shape (2Ny+1, 2Nx)) or NEMO coordinates/mesh_mask
+    style (glamt/gphit/glamu/gphiu/glamv/gphiv/glamf/gphif). Returns
+    (lon_sg, lat_sg, bottom_height_or_None)."""
+    from ..data.netcdf import decode, open_netcdf
+    with open_netcdf(path) as nc:
+        v = nc.variables
+
+        def get(name):
+            if name not in v:
+                return None
+            a = decode(v[name])
+            while a.ndim > 2:                   # squeeze NEMO's time axis
+                a = a[0]
+            return a
+
+        bottom = None
+        for bname in ("bottom_height", "bathy_metry", "bathymetry", "deptho"):
+            b = get(bname)
+            if b is not None:
+                bottom = -np.abs(b)             # depths -> bottom height
+                break
+        if "lon" in v and "lat" in v:
+            return get("lon"), get("lat"), bottom
+        names = ("glamt", "gphit", "glamu", "gphiu",
+                 "glamv", "gphiv", "glamf", "gphif")
+        arrs = [get(n) for n in names]
+        if any(a is None for a in arrs):
+            missing = [n for n, a in zip(names, arrs) if a is None]
+            raise KeyError(f"{path}: mesh variables missing: {missing}")
+        lon, lat = supergrid_from_nemo(*arrs)
+        return lon, lat, bottom
