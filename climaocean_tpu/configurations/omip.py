@@ -132,7 +132,7 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
                     sea_ice_dynamics=True, normalize_salinity=True,
                     salinity_restoring=True, piston_velocity=0.5,
                     diagnostics=True, output_dir="output",
-                    forcing_end_time=None, forcing_dir=None,
+                    forcing_end_time=None, forcing_dir=None, staging_dir=None,
                     progress_interval=10, Nz=None, **config_kw):
     """Reference `omip_simulation` (`omip_simulation.jl:292-403`): build the
     coupled OMIP simulation for a named grid configuration. Returns a
@@ -164,6 +164,15 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
         sea_ice = SeaIceModel(grid=grid, dynamics=sea_ice_dynamics,
                               atmosphere_fluxes=default_ice_atmosphere_fluxes())
 
+    staging_cb = None
+    if forcing_dir is not None and staging_dir is not None:
+        # two-tier storage: read forcing through the fast-scratch staging
+        # farm; the callback copies years ahead of the clock (reference
+        # `setup_staging_directory` + JRA55DataStagingCallback at
+        # IterationInterval(1440), `omip_simulation.jl:348,377-382`)
+        from ..data.staging import JRA55DataStagingCallback
+        staging_cb = JRA55DataStagingCallback(forcing_dir, staging_dir)
+        forcing_dir = staging_dir
     atmos = omip_forcing(grid, 0.0,
                          forcing_end_time or (stop_time or 30 * days) + days,
                          forcing_dir=forcing_dir)
@@ -189,6 +198,10 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
                          name="normalize_salinity")
     sim.add_callback(omip_progress_callback(grid),
                      IterationInterval(progress_interval), name="progress")
+    if staging_cb is not None:
+        sim.add_callback(staging_cb, IterationInterval(1440),
+                         name="jra55_staging")
+        staging_cb(sim)          # prime current + next year at startup
     if diagnostics:
         add_omip_diagnostics(sim, grid, dir=output_dir)
     sim.model = model
