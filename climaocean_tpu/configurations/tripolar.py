@@ -49,9 +49,10 @@ def _tripolar_closure(biharmonic_timescale, kappa_skew=None, kappa_symmetric=Non
 def _build(Nx, Ny, Nz, depth, halo, substeps, minimum_depth, passes, basins,
            momentum_order, tracer_order, biharmonic_timescale,
            kappa_skew=None, kappa_symmetric=None, closure=None,
-           initialize=True, zstar=False, dir="."):
+           initialize=True, zstar=False, dir=".", fold_alignment_px=None):
     grid = tripolar_grid((Nx, Ny, Nz), southernmost_latitude=-80.0, halo=halo,
-                         z=vertical_coordinate(Nz, depth, zstar))
+                         z=vertical_coordinate(Nz, depth, zstar),
+                         fold_alignment_px=fold_alignment_px)
     bottom = regrid_bathymetry(grid, minimum_depth=minimum_depth,
                                major_basins=basins,
                                interpolation_passes=passes, dir=dir)
