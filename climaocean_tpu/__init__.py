@@ -70,6 +70,14 @@ from .simulation.strait_transports import (StraitSection, strait_sections,
                                            strait_transports)
 from .simulation.simulation import nan_checker
 
+from .coupler.atmosphere import netcdf_prescribed_atmosphere
+from .data.download import (ARTIFACTS_BASE_URL, download_from_artifacts,
+                            download_with_fallback)
+from .data.netcdf import load_field as load_netcdf_field
+from .data.netcdf import open_netcdf
+from .data.staging import (JRA55DataStagingCallback, setup_staging_directory,
+                           stage_year, unstage_year)
+
 # reference-name alias: `Progress` (src/ClimaOcean.jl:48-88)
 Progress = progress_callback
 
