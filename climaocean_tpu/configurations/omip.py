@@ -116,6 +116,11 @@ def omip_forcing(grid, start_time=0.0, end_time=10 * days, forcing_dir=None,
     return synthetic_prescribed_atmosphere(grid, start_time, end_time)
 
 
+def _orca_builder(**kw):
+    from .orca import orca_ocean
+    return orca_ocean(**kw)
+
+
 _CONFIG_BUILDERS = {
     "latlon": lambda **kw: latitude_longitude_ocean(
         **{"resolution": 1.0, **kw}),
@@ -123,6 +128,9 @@ _CONFIG_BUILDERS = {
     "halfdegree": tri.half_degree_tripolar_ocean,
     "sixthdegree": tri.sixth_degree_tripolar_ocean,
     "tenthdegree": tri.tenth_degree_tripolar_ocean,
+    # eORCA1 mesh, Δt = 30 min / Nz = 70 in OMIP production (reference
+    # `omip_simulation.jl:235,562-568`, `launch.sh:157-162`)
+    "orca": _orca_builder,
 }
 
 
@@ -133,7 +141,8 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
                     salinity_restoring=True, piston_velocity=0.5,
                     diagnostics=True, output_dir="output",
                     forcing_end_time=None, forcing_dir=None, staging_dir=None,
-                    progress_interval=10, Nz=None, **config_kw):
+                    progress_interval=10, Nz=None, steps_per_dispatch=None,
+                    **config_kw):
     """Reference `omip_simulation` (`omip_simulation.jl:292-403`): build the
     coupled OMIP simulation for a named grid configuration. Returns a
     `Simulation` with progress (+STATE_HASH) callback and, when
@@ -178,7 +187,11 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
                          forcing_dir=forcing_dir)
     model = OceanSeaIceModel(
         ocean=ocean_model, atmosphere=atmos, sea_ice=sea_ice,
-        atmosphere_ocean_fluxes=atmosphere_ocean_flux_solver(flux_configuration))
+        atmosphere_ocean_fluxes=atmosphere_ocean_flux_solver(flux_configuration),
+        # in-step global-mean subtraction (reference NormalizeSalinity,
+        # omip_simulation.jl:182-220) — fused into the jitted step so the
+        # run loop stays batchable (no per-iteration host callback)
+        normalize_salinity=normalize_salinity)
 
     state = model.initial_state()
     state["ocean"] = ocean_state
@@ -190,12 +203,16 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
             concentration=Metadatum("sea_ice_concentration", dataset=ECCO4Monthly()))
 
     step = make_coupled_step_fn(model, donate=False)
+    if steps_per_dispatch is None:
+        # EVP substeps inside a multi-step scan are a 3-deep nesting that
+        # has hit TPU compile errors (ROUND_NOTES gap 4) — default batching
+        # on only for the no-ice workload; callers can force it
+        steps_per_dispatch = 1 if with_sea_ice else 8
+    from ..models.coupled import make_batched_step_fn
     sim = Simulation(lambda s, t, d: step(s, t, d), state, dt=dt,
-                     stop_time=stop_time, stop_iteration=stop_iteration)
-
-    if normalize_salinity:
-        sim.add_callback(salinity_normalizer(grid), IterationInterval(1),
-                         name="normalize_salinity")
+                     stop_time=stop_time, stop_iteration=stop_iteration,
+                     multi_step_fn=make_batched_step_fn(model, donate=False),
+                     batch_size=steps_per_dispatch)
     sim.add_callback(omip_progress_callback(grid),
                      IterationInterval(progress_interval), name="progress")
     if staging_cb is not None:

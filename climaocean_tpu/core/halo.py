@@ -70,3 +70,25 @@ def fill_halos_tree(fields, grid: Grid):
     """Fill halos of every array leaf in a pytree of center fields."""
     import jax
     return jax.tree_util.tree_map(lambda a: fill_halos(a, grid), fields)
+
+
+# Overridable global reduction: plain jnp.sum on one device; the shard_map
+# path installs local-sum + psum over the mesh axes so in-step global
+# means (e.g. salinity normalization) stay correct when distributed.
+_sum_override = contextvars.ContextVar("sum_override", default=None)
+
+
+@contextlib.contextmanager
+def sum_override(fn):
+    token = _sum_override.set(fn)
+    try:
+        yield
+    finally:
+        _sum_override.reset(token)
+
+
+def global_sum(a):
+    override = _sum_override.get()
+    if override is not None:
+        return override(a)
+    return jnp.sum(a)

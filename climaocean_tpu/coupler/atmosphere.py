@@ -179,22 +179,36 @@ def netcdf_prescribed_atmosphere(grid, dir, time_indices_in_memory=None,
             slabs.append(pad(a))
         return np.asarray(t[i0:i0 + n_keep], np.float64), np.stack(slabs)
 
-    fields = {}
-    times = None
+    def interp_onto(t_src, series, t_dst):
+        """Linearly interpolate a (nt, Ny, Nx) series from its own time
+        axis onto ``t_dst`` — JRA55-do variables have mixed cadences
+        (3-hourly state vars, daily friver/licalvf), so positional slicing
+        would misalign them."""
+        if series.shape[0] == 1:
+            return np.repeat(series, len(t_dst), axis=0)
+        if len(t_src) == len(t_dst) and np.allclose(t_src, t_dst):
+            return series
+        i1 = np.clip(np.searchsorted(t_src, t_dst), 1, len(t_src) - 1)
+        i0 = i1 - 1
+        denom = np.maximum(t_src[i1] - t_src[i0], 1e-9)
+        w = np.clip((t_dst - t_src[i0]) / denom, 0.0, 1.0)[:, None, None]
+        return (1.0 - w) * series[i0] + w * series[i1]
+
+    raw = {}
     for shortname, key in JRA55_FIELD_MAP.items():
         t, series = read_series(shortname)
         if series is None:
             raise FileNotFoundError(
                 f"no NetCDF file for JRA55 variable '{shortname}' in {dir}")
-        fields[key] = series
-        if times is None or len(t) < len(times):
-            times = t
-    n = len(times)
-    fields = {k: v[:n] for k, v in fields.items()}
+        raw[key] = (t, series)
+    # reference time axis: the shortest atmospheric-state axis (all nine
+    # are 3-hourly in JRA55-do; min() trims ragged file ends)
+    times = min((t for t, _ in raw.values()), key=len)
+    fields = {k: interp_onto(t, s, times) for k, (t, s) in raw.items()}
     for land in JRA55_LAND_VARS:
         t, series = read_series(land)
         if series is not None:
-            fields["rain"] = fields["rain"] + series[:n]
+            fields["rain"] = fields["rain"] + interp_onto(t, series, times)
     times = times - times[0]
     return PrescribedAtmosphere(
         times=jnp.asarray(times.astype(dtype)),

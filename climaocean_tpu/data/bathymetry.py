@@ -33,7 +33,8 @@ def _source_bathymetry(grid, dataset=None, dir="."):
     try:
         data, z_f, lat_f, lon_f = load_native(meta)
         return data[0] if data.ndim == 3 else data, lat_f, lon_f
-    except KeyError:
+    except Exception:
+        # no local file / unreadable or mismatched NetCDF -> analytic proxy
         nlat, nlon = 720, 1440
         lat_f = np.linspace(-90, 90, nlat + 1)
         lon_f = np.linspace(-180, 180, nlon + 1)

@@ -21,9 +21,12 @@ import tempfile
 import urllib.request
 
 # reference `download_with_fallback.jl:4` — the NumericalEarthArtifacts
-# GitHub release mirror
-ARTIFACTS_BASE_URL = ("https://github.com/CliMA/NumericalEarthArtifacts/"
-                      "releases/download/v0.1.0")
+# GitHub release mirror (NumericalEarth org, `data-v1` release tag).
+# Overridable for private mirrors / testing (file:// URLs work too).
+ARTIFACTS_BASE_URL = os.environ.get(
+    "CLIMAOCEAN_ARTIFACTS_URL",
+    "https://github.com/NumericalEarth/NumericalEarthArtifacts/"
+    "releases/download/data-v1")
 
 
 def _fetch(url, dst_path, timeout=60):

@@ -47,6 +47,10 @@ class NCVar:
         self._get = getter
         self.dtype = dtype
 
+    @property
+    def ndim(self):
+        return len(self.shape)
+
     def __getitem__(self, idx):
         return np.asarray(self._get(idx))
 
@@ -325,17 +329,24 @@ def load_field(path, name, time_index=0):
     """
     with open_netcdf(path) as nc:
         aliases = VAR_ALIASES.get(name, (name,))
+
+        def usable(v):
+            # a geophysical field, not a coordinate variable that happens
+            # to share a greedy alias ('z', 'area', ...) — those are 1-D
+            return v.ndim >= 2
+
         var = None
         for a in aliases:
-            if a in nc.variables:
+            if a in nc.variables and usable(nc.variables[a]):
                 var = nc.variables[a]
                 break
         if var is None:
             # case-insensitive fallback
             lower = {k.lower(): k for k in nc.variables}
             for a in aliases:
-                if a.lower() in lower:
-                    var = nc.variables[lower[a.lower()]]
+                key = lower.get(a.lower())
+                if key is not None and usable(nc.variables[key]):
+                    var = nc.variables[key]
                     break
         if var is None:
             raise KeyError(f"{path}: no variable for '{name}' "
@@ -431,9 +442,13 @@ def find_netcdf(dir, name):
     for p in by_fname + [p for p in candidates if p not in by_fname]:
         try:
             with open_netcdf(p) as nc:
-                lower = {k.lower() for k in nc.variables}
-                if any(a in lower for a in aliases):
-                    return p
+                lower = {k.lower(): k for k in nc.variables}
+                for a in aliases:
+                    key = lower.get(a)
+                    # only count real (>= 2-D) field variables — 1-D
+                    # coordinate variables can shadow greedy aliases
+                    if key is not None and nc.variables[key].ndim >= 2:
+                        return p
         except Exception:
             continue
     return None

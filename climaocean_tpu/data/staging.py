@@ -67,6 +67,15 @@ def setup_staging_directory(forcing_dir, staging_dir):
     if not _is_rank0():
         return staging_dir
     os.makedirs(staging_dir, exist_ok=True)
+    # sweep temp leftovers from copies/symlinks that died mid-flight (the
+    # reference removes `.nc.tmp` leftovers at setup, `:36-41`); these are
+    # only ever created under the temp prefixes below, never published
+    for name in os.listdir(staging_dir):
+        if name.startswith((".stage_cp_", ".stage_ln_", ".download_")):
+            try:
+                os.remove(os.path.join(staging_dir, name))
+            except OSError:
+                pass
     for name in sorted(os.listdir(forcing_dir)):
         src = os.path.join(forcing_dir, name)
         if not os.path.isfile(src):

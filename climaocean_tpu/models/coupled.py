@@ -33,7 +33,7 @@ RHO_FRESH = 1000.0
          data_fields=["ocean", "atmosphere", "sea_ice"],
          meta_fields=["atmosphere_ocean_fluxes", "atmosphere_sea_ice_fluxes",
                       "ocean_albedo", "ocean_emissivity",
-                      "ocean_minimum_salinity"])
+                      "ocean_minimum_salinity", "normalize_salinity"])
 @dataclass(frozen=True)
 class OceanSeaIceModel:
     """Coupled-model configuration (a pytree: the component models carry the
@@ -50,6 +50,12 @@ class OceanSeaIceModel:
     ocean_albedo: float = rad.OCEAN_ALBEDO
     ocean_emissivity: float = rad.OCEAN_EMISSIVITY
     ocean_minimum_salinity: float = 1.0         # omip_simulation.jl:132
+    # subtract the global wet-area mean of the net surface salinity flux
+    # every step, INSIDE the jitted step (reference `NormalizeSalinity`
+    # callback + `_materialize_top_flux!` kernel, omip_simulation.jl:182-220
+    # — fused here so the production loop stays batchable); correct under
+    # shard_map via the `global_sum` psum hook
+    normalize_salinity: bool = False
 
     def initial_state(self, **kw):
         state = {"ocean": self.ocean.initial_state(**kw),
@@ -131,6 +137,14 @@ def coupled_step(model, state, t, dt):
             ice_fraction=a,
         )
 
+    if model.normalize_salinity:
+        from ..core.halo import global_sum
+        grid0 = model.ocean.grid
+        wet2 = grid0.wet_c[-1]
+        area = global_sum(grid0.az_cc * wet2)
+        mean_QS = global_sum(fluxes.Q_S * grid0.az_cc * wet2) / area
+        fluxes = fluxes._replace(Q_S=fluxes.Q_S - mean_QS)
+
     ocean_new = hyd.step(model.ocean, ocean_state, fluxes, dt)
     # minimum-salinity clamp (omip_simulation.jl ocean_minimum_salinity = 1)
     ocean_new["S"] = jnp.maximum(ocean_new["S"], model.ocean_minimum_salinity
@@ -198,6 +212,23 @@ def make_multi_step_fn(model, n_steps, donate=True):
 
     def f(state, t0, dt):
         return jitted(model, state, t0, dt)
+
+    return f
+
+
+def make_batched_step_fn(model, donate=False):
+    """``(state, t, dt, n) -> state`` for `Simulation`'s dispatch batching:
+    one `lax.scan` dispatch per ``n`` coupled steps, with the jitted scan
+    cached per distinct ``n`` (the driver only ever uses one batch size,
+    so this compiles once)."""
+    cache = {}
+
+    def f(state, t, dt, n):
+        fn = cache.get(n)
+        if fn is None:
+            fn = cache.setdefault(n, make_multi_step_fn(model, n,
+                                                        donate=donate))
+        return fn(state, t, dt)
 
     return f
 

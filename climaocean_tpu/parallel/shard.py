@@ -361,9 +361,12 @@ def make_sharded_coupled_step_fn(model, mesh: Mesh, donate=True):
         return a[None] if (a.ndim >= 2 and a.shape[-1] == nxp_loc) else a
 
     def step_local(model_tile, state_tile, t, dt):
+        from ..core.halo import sum_override
+
         m = localize_grids(unstack(model_tile))
         s = unstack(state_tile)
-        with halo_override(sharded_fill):
+        with halo_override(sharded_fill), \
+                sum_override(lambda x: jax.lax.psum(jnp.sum(x), ("y", "x"))):
             out = cm.coupled_step(m, s, t, dt)
         return jax.tree_util.tree_map(_restack, out)
 

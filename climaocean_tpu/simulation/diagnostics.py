@@ -118,13 +118,18 @@ class FieldWriter:
     (reference `JLD2Writer` + `AveragedTimeInterval` + file_splitting)."""
 
     def __init__(self, compute_fn, grid, dir, prefix, schedule,
-                 averaging=False, file_splitting=None, overwrite=True):
+                 averaging=False, file_splitting=None, overwrite=True,
+                 averaging_stride=1):
         self.compute = jax.jit(lambda s: compute_fn(grid, s))
         self.grid = grid
         self.dir = dir
         self.prefix = prefix
         self.schedule = schedule
         self.averaging = averaging
+        # subsample the average on a cheap inner schedule instead of
+        # computing every iteration (the per-iteration `compute!` cost the
+        # reference works around by disabling writers, `launch.sh:368-373`)
+        self.averaging_stride = max(1, int(averaging_stride))
         self.file_splitting = file_splitting
         self._accum = None
         self._count = 0
@@ -137,7 +142,7 @@ class FieldWriter:
                     os.unlink(os.path.join(dir, f))
 
     def maybe_write(self, sim):
-        if self.averaging:
+        if self.averaging and sim.iteration % self.averaging_stride == 0:
             out = self.compute(sim.state)
             if self._accum is None:
                 self._accum = out
@@ -199,9 +204,15 @@ def add_omip_diagnostics(sim, grid, dir="output", prefix="omip",
     scalars_schedule = scalars_schedule or IterationInterval(24)
     checkpoint_schedule = checkpoint_schedule or IterationInterval(1000)
 
+    def stride_of(schedule):
+        # ~6 samples per averaging window instead of every iteration
+        return max(1, schedule.n // 6) if isinstance(schedule,
+                                                     IterationInterval) else 1
+
     sim.add_output_writer(FieldWriter(surface_diagnostics, grid, dir,
                                       prefix + "_surface", surface_schedule,
                                       averaging=True,
+                                      averaging_stride=stride_of(surface_schedule),
                                       file_splitting=file_splitting))
     sim.add_output_writer(FieldWriter(field_diagnostics, grid, dir,
                                       prefix + "_fields", fields_schedule,
@@ -209,6 +220,7 @@ def add_omip_diagnostics(sim, grid, dir="output", prefix="omip",
     sim.add_output_writer(FieldWriter(scalar_diagnostics, grid, dir,
                                       prefix + "_scalars", scalars_schedule,
                                       averaging=True,
+                                      averaging_stride=stride_of(scalars_schedule),
                                       file_splitting=file_splitting))
     sim.add_output_writer(Checkpointer(dir, checkpoint_schedule,
                                        prefix=prefix + "_checkpoint"))

@@ -33,9 +33,15 @@ class IterationInterval:
 class TimeInterval:
     def __init__(self, interval: float):
         self.interval = interval
-        self._next = 0.0
+        self._next = None           # anchored to the clock on first call
 
     def fires(self, sim) -> bool:
+        if self._next is None:
+            # anchor at the next interval multiple strictly ahead of the
+            # current clock — no spurious first-call fire at t=0 (or on
+            # pickup mid-interval)
+            self._next = (sim.time // self.interval + 1) * self.interval
+            return False
         if sim.time + 1e-9 >= self._next:
             self._next = (sim.time // self.interval + 1) * self.interval
             return True
@@ -72,7 +78,7 @@ class Simulation:
     """
 
     def __init__(self, step_fn, state, dt, stop_time=None, stop_iteration=None,
-                 time=0.0, iteration=0):
+                 time=0.0, iteration=0, multi_step_fn=None, batch_size=1):
         self.step_fn = step_fn
         self.state = state
         self.dt = float(dt)
@@ -84,6 +90,13 @@ class Simulation:
         self.output_writers: list = []
         self.running = False
         self.wall_start = None
+        # dispatch batching: when no callback/writer can fire for the next
+        # `batch_size` steps, advance them in ONE device dispatch via
+        # ``multi_step_fn(state, t, dt, n)`` (a lax.scan over the step) —
+        # production runs get the benchmark's dispatch amortization
+        # (reference cost note: `launch.sh:368-373`; SURVEY.md §7 (g))
+        self.multi_step_fn = multi_step_fn
+        self.batch_size = max(1, int(batch_size))
 
     def add_callback(self, func, schedule, name=""):
         self.callbacks.append(Callback(func, schedule, name))
@@ -98,13 +111,54 @@ class Simulation:
             return True
         return False
 
+    def _steps_to_boundary(self) -> int:
+        """Steps that can be advanced before any schedule could fire or a
+        stop condition is reached (conservative: unknown schedule types
+        force single-stepping)."""
+        n = self.batch_size
+        if self.stop_iteration is not None:
+            n = min(n, self.stop_iteration - self.iteration)
+        if self.stop_time is not None:
+            import math
+            n = min(n, math.ceil((self.stop_time - self.time) / self.dt - 1e-9))
+        for sched in ([cb.schedule for cb in self.callbacks]
+                      + [w.schedule for w in self.output_writers
+                         if hasattr(w, "schedule")]):
+            if isinstance(sched, IterationInterval):
+                # fires when iteration % n == 0 (checked after increment)
+                k = sched.n - self.iteration % sched.n
+            elif isinstance(sched, TimeInterval):
+                if sched._next is None:
+                    k = 1
+                else:
+                    import math
+                    k = max(1, math.ceil((sched._next - self.time)
+                                         / self.dt - 1e-9))
+            elif isinstance(sched, WallTimeInterval):
+                continue            # coarse granularity is acceptable
+            else:
+                k = 1
+            n = min(n, k)
+        return max(1, n)
+
     def run(self):
         self.running = True
         self.wall_start = _time.time()
         while not self.should_stop():
-            self.state = self.step_fn(self.state, self.time, self.dt)
-            self.time += self.dt
-            self.iteration += 1
+            # only two compiled programs ever: the 1-step function and the
+            # batch_size-step scan (remainders single-step — a partial
+            # batch would recompile the scan per distinct length)
+            n = 1
+            if self.multi_step_fn is not None and self.batch_size > 1 and \
+                    self._steps_to_boundary() >= self.batch_size:
+                n = self.batch_size
+            if n > 1:
+                self.state = self.multi_step_fn(self.state, self.time,
+                                                self.dt, n)
+            else:
+                self.state = self.step_fn(self.state, self.time, self.dt)
+            self.time += n * self.dt
+            self.iteration += n
             for cb in self.callbacks:
                 if cb.schedule.fires(self):
                     cb.func(self)
