@@ -65,6 +65,7 @@ from .closures.gm_redi import IsopycnalSkewSymmetricDiffusivity
 from .closures.kpp import KPPVerticalDiffusivity
 from .closures.nemo_tke import NEMOTKEVerticalDiffusivity
 from .coupler.prefetch import PrefetchingAtmosphere
+from .coupler.jra55 import JRA55FileAtmosphere
 from .simulation.analysis import CaseCache, atlantic_ocean_basin
 from .simulation.strait_transports import (StraitSection, strait_sections,
                                            strait_transports)

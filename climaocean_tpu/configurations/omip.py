@@ -100,20 +100,41 @@ def atmosphere_ocean_flux_solver(flux_configuration="default"):
 
 
 def omip_forcing(grid, start_time=0.0, end_time=10 * days, forcing_dir=None,
-                 time_indices_in_memory=None):
+                 time_indices_in_memory=None, repeat_year=False):
     """Reference `omip_forcing` (`atmosphere.jl:13-49`): JRA55-do
     atmosphere + radiation (+ land runoff folded into the precip proxy).
-    When ``forcing_dir`` holds JRA55-style NetCDF files (one per shortname,
-    reference `jra55_data_staging.jl:8`), they back the window like
-    `JRA55PrescribedAtmosphere(arch; dir, time_indices_in_memory)`;
-    zero-egress default is the analytic proxy at the JRA55 3-hour cadence."""
+
+    Returns ``(window, prefetcher)``. When ``forcing_dir`` holds JRA55-
+    style NetCDF files (one per shortname per year, reference
+    `jra55_data_staging.jl:8`) and ``time_indices_in_memory`` is set, the
+    windows are served by the multi-year file backend through a
+    `PrefetchingAtmosphere` — bounded HBM, background refill, exactly
+    `JRA55PrescribedAtmosphere(arch; dir, dataset=MultiYearJRA55()/
+    RepeatYearJRA55(), time_indices_in_memory, prefetch=true)`
+    (`atmosphere.jl:22-27`). ``prefetcher`` is None for short runs that
+    fit one device window. Zero-egress default is the analytic proxy at
+    the JRA55 3-hour cadence (also windowed when the run is long)."""
+    from ..coupler.prefetch import PrefetchingAtmosphere
+
     if forcing_dir is not None:
-        from ..coupler.atmosphere import netcdf_prescribed_atmosphere
         from ..data.netcdf import find_netcdf
         if find_netcdf(forcing_dir, "tas") is not None:
-            return netcdf_prescribed_atmosphere(
-                grid, forcing_dir, time_indices_in_memory=time_indices_in_memory)
-    return synthetic_prescribed_atmosphere(grid, start_time, end_time)
+            if time_indices_in_memory is not None:
+                pf = PrefetchingAtmosphere.from_files(
+                    grid, forcing_dir,
+                    time_indices_in_memory=time_indices_in_memory,
+                    repeat_year=repeat_year, t_start=start_time)
+                win, _ = pf.window_for(start_time)
+                return win, pf
+            from ..coupler.atmosphere import netcdf_prescribed_atmosphere
+            return netcdf_prescribed_atmosphere(grid, forcing_dir), None
+    if end_time - start_time > 45 * days:
+        pf = PrefetchingAtmosphere.synthetic(grid,
+                                             window_length=30 * days,
+                                             t_start=start_time)
+        win, _ = pf.window_for(start_time)
+        return win, pf
+    return synthetic_prescribed_atmosphere(grid, start_time, end_time), None
 
 
 def _orca_builder(**kw):
@@ -141,6 +162,7 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
                     salinity_restoring=True, piston_velocity=0.5,
                     diagnostics=True, output_dir="output",
                     forcing_end_time=None, forcing_dir=None, staging_dir=None,
+                    time_indices_in_memory=240, repeat_year=False,
                     progress_interval=10, Nz=None, steps_per_dispatch=None,
                     **config_kw):
     """Reference `omip_simulation` (`omip_simulation.jl:292-403`): build the
@@ -178,13 +200,17 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
         # two-tier storage: read forcing through the fast-scratch staging
         # farm; the callback copies years ahead of the clock (reference
         # `setup_staging_directory` + JRA55DataStagingCallback at
-        # IterationInterval(1440), `omip_simulation.jl:348,377-382`)
+        # IterationInterval(1440), `omip_simulation.jl:348,377-382`).
+        # Window builds re-resolve file paths, so background refills pick
+        # up freshly staged fast copies as the run advances.
         from ..data.staging import JRA55DataStagingCallback
         staging_cb = JRA55DataStagingCallback(forcing_dir, staging_dir)
         forcing_dir = staging_dir
-    atmos = omip_forcing(grid, 0.0,
-                         forcing_end_time or (stop_time or 30 * days) + days,
-                         forcing_dir=forcing_dir)
+    atmos, prefetcher = omip_forcing(
+        grid, 0.0, forcing_end_time or (stop_time or 30 * days) + days,
+        forcing_dir=forcing_dir,
+        time_indices_in_memory=time_indices_in_memory,
+        repeat_year=repeat_year)
     model = OceanSeaIceModel(
         ocean=ocean_model, atmosphere=atmos, sea_ice=sea_ice,
         atmosphere_ocean_fluxes=atmosphere_ocean_flux_solver(flux_configuration),
@@ -202,7 +228,7 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
             thickness=Metadatum("sea_ice_thickness", dataset=ECCO4Monthly()),
             concentration=Metadatum("sea_ice_concentration", dataset=ECCO4Monthly()))
 
-    step = make_coupled_step_fn(model, donate=False)
+    step = make_coupled_step_fn(model, donate=False, prefetcher=prefetcher)
     if steps_per_dispatch is None:
         # EVP substeps inside a multi-step scan are a 3-deep nesting that
         # has hit TPU compile errors (ROUND_NOTES gap 4) — default batching
@@ -211,8 +237,10 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
     from ..models.coupled import make_batched_step_fn
     sim = Simulation(lambda s, t, d: step(s, t, d), state, dt=dt,
                      stop_time=stop_time, stop_iteration=stop_iteration,
-                     multi_step_fn=make_batched_step_fn(model, donate=False),
+                     multi_step_fn=make_batched_step_fn(
+                         model, donate=False, prefetcher=prefetcher),
                      batch_size=steps_per_dispatch)
+    sim.prefetcher = prefetcher
     sim.add_callback(omip_progress_callback(grid),
                      IterationInterval(progress_interval), name="progress")
     if staging_cb is not None:

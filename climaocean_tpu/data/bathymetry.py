@@ -22,7 +22,6 @@ import numpy as np
 from scipy import ndimage
 
 from .metadata import ETOPO, Metadatum, load_native
-from .regrid import conservative_regrid_1d
 from .synthetic import synthetic_bathymetry
 
 
@@ -85,17 +84,12 @@ def regrid_bathymetry(grid, minimum_depth=0.0, major_basins=None,
     """Return the (Ny, Nx) bottom-height array for `with_bottom_height`."""
     src, lat_f, lon_f = _source_bathymetry(grid, dataset, dir)
 
-    H = grid.H
-    lat_dst = np.zeros(grid.Ny + 1)
-    lat_dst[:-1] = np.asarray(grid.lat_cf[H:H + grid.Ny, H])
-    lat_dst[-1] = 2 * lat_dst[-2] - lat_dst[-3]
-    lon_dst = np.zeros(grid.Nx + 1)
-    lon_dst[:-1] = np.asarray(grid.lon_ff[H, H:H + grid.Nx])
-    lon_dst[-1] = lon_dst[0] + 360.0 if grid.periodic_x else \
-        2 * lon_dst[-2] - lon_dst[-3]
-
-    h = conservative_regrid_1d(lat_f, lat_dst, src, axis=0)
-    h = conservative_regrid_1d(lon_f, lon_dst, h, axis=1)
+    # curvilinear-aware: conservative on constant-latitude rows; on the
+    # tripolar cap (rows there are NOT latitude lines — a 1-D ladder would
+    # misplace the Arctic bathymetry) an anti-aliased area box remap at the
+    # true (lon_cc, lat_cc) — point sampling would alias ridges/straits
+    from .regrid import HorizontalRegridPlan
+    h = HorizontalRegridPlan(grid, lat_f, lon_f, antialias=True).apply(src)
 
     if interpolation_passes > 1:
         h = smooth_passes(h, interpolation_passes - 1, grid.periodic_x)

@@ -23,7 +23,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from . import synthetic
-from .regrid import fill_ocean_missing, regrid_3d
+from .regrid import fill_ocean_missing
 
 
 # --------------------------------------------------------------------------
@@ -147,28 +147,21 @@ def load_native(meta: Metadatum):
 
 
 def regrid_to_grid(meta: Metadatum, grid, surface=False):
-    """Ingest a metadatum onto a model grid (interior numpy array),
-    following the reference's z→y→x conservative pipeline with ocean
-    flood-filling of missing values."""
+    """Ingest a metadatum onto a model grid (interior numpy array): z pass
+    conservative (reference z→y→x pipeline), horizontal pass through the
+    curvilinear-aware `HorizontalRegridPlan` (conservative on constant-
+    latitude rows, bilinear at true cell centers on the tripolar cap —
+    `InitialConditions.jl:33-68` intent)."""
+    from .regrid import HorizontalRegridPlan, conservative_regrid_1d
+
     data, z_f, lat_f, lon_f = load_native(meta)
     data = fill_ocean_missing(data, None, passes=3)
-
-    H = grid.H
-    lat_dst = np.zeros(grid.Ny + 1)
-    lat_dst[:-1] = np.asarray(grid.lat_cf[H:H + grid.Ny, H])
-    lat_dst[-1] = 2 * lat_dst[-2] - lat_dst[-3]
-    lon_dst = np.zeros(grid.Nx + 1)
-    lon_dst[:-1] = np.asarray(grid.lon_ff[H, H:H + grid.Nx])
-    lon_dst[-1] = lon_dst[0] + 360.0 if grid.periodic_x else \
-        2 * lon_dst[-2] - lon_dst[-3]
+    plan = HorizontalRegridPlan(grid, lat_f, lon_f)
 
     if surface:
-        z_dst = np.array([-1.0, 0.0])
-        out = regrid_3d(data[-1:], (np.array([-1.0, 0.0]), lat_f, lon_f),
-                        (z_dst, lat_dst, lon_dst))
-        return out[0]
-    z_dst = np.asarray(grid.z_f)
-    return regrid_3d(data, (z_f, lat_f, lon_f), (z_dst, lat_dst, lon_dst))
+        return plan.apply(data[-1])
+    zdata = conservative_regrid_1d(z_f, np.asarray(grid.z_f), data, axis=0)
+    return np.stack([plan.apply(zdata[k]) for k in range(zdata.shape[0])])
 
 
 def set_fields(state, grid, **assignments):

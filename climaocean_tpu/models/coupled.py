@@ -192,10 +192,11 @@ def coupled_step(model, state, t, dt):
     return new_state
 
 
-def make_multi_step_fn(model, n_steps, donate=True):
-    """Jitted ``(state, t0, dt) -> state`` advancing ``n_steps`` coupled
-    steps in one dispatch via `lax.scan` — amortizes host dispatch latency
-    (large over the tunneled-TPU transport) and lets XLA overlap steps."""
+def _jit_multi_step(n_steps, donate):
+    """Jitted ``(model, state, t0, dt) -> state`` advancing ``n_steps``
+    coupled steps in one `lax.scan` dispatch — amortizes host dispatch
+    latency (large over the tunneled-TPU transport) and lets XLA overlap
+    steps."""
     def multi(model, state, t0, dt):
         # first step outside the scan: it adds the net-flux diagnostics to
         # the state, and the scan carry must have a fixed structure
@@ -208,15 +209,30 @@ def make_multi_step_fn(model, n_steps, donate=True):
                               jnp.arange(1, n_steps, dtype=jnp.float32))
         return out
 
-    jitted = jax.jit(multi, donate_argnums=(1,) if donate else ())
+    return jax.jit(multi, donate_argnums=(1,) if donate else ())
+
+
+def _with_window(model, prefetcher, t, t_end):
+    """Swap the model's atmosphere for the prefetcher's window covering
+    [t, t_end]; returns (model', t_relative). Same array shapes every
+    window → the jit cache hits, so the swap costs nothing on device."""
+    import dataclasses
+    win, t_ref = prefetcher.window_for(t, t_end)
+    return dataclasses.replace(model, atmosphere=win), t - t_ref
+
+
+def make_multi_step_fn(model, n_steps, donate=True, prefetcher=None):
+    jitted = _jit_multi_step(n_steps, donate)
 
     def f(state, t0, dt):
-        return jitted(model, state, t0, dt)
+        m, t_eff = (model, t0) if prefetcher is None else \
+            _with_window(model, prefetcher, t0, t0 + n_steps * dt)
+        return jitted(m, state, t_eff, dt)
 
     return f
 
 
-def make_batched_step_fn(model, donate=False):
+def make_batched_step_fn(model, donate=False, prefetcher=None):
     """``(state, t, dt, n) -> state`` for `Simulation`'s dispatch batching:
     one `lax.scan` dispatch per ``n`` coupled steps, with the jitted scan
     cached per distinct ``n`` (the driver only ever uses one batch size,
@@ -226,20 +242,26 @@ def make_batched_step_fn(model, donate=False):
     def f(state, t, dt, n):
         fn = cache.get(n)
         if fn is None:
-            fn = cache.setdefault(n, make_multi_step_fn(model, n,
-                                                        donate=donate))
-        return fn(state, t, dt)
+            fn = cache.setdefault(n, _jit_multi_step(n, donate))
+        m, t_eff = (model, t) if prefetcher is None else \
+            _with_window(model, prefetcher, t, t + n * dt)
+        return fn(m, state, t_eff, dt)
 
     return f
 
 
-def make_coupled_step_fn(model, donate=True):
+def make_coupled_step_fn(model, donate=True, prefetcher=None):
     """Jitted ``(state, t, dt) -> state``. The model pytree is passed as an
     argument on every call (arrays already live on device — this is free)
-    so its leaves are HLO parameters, never embedded literals."""
+    so its leaves are HLO parameters, never embedded literals. With a
+    ``prefetcher``, the atmosphere window is swapped in per dispatch and
+    time is passed window-relative (multi-year runs keep full float32 time
+    precision and bounded HBM — reference `atmosphere.jl:22-27`)."""
     jitted = jax.jit(coupled_step, donate_argnums=(1,) if donate else ())
 
     def f(state, t, dt):
-        return jitted(model, state, t, dt)
+        m, t_eff = (model, t) if prefetcher is None else \
+            _with_window(model, prefetcher, t, t + dt)
+        return jitted(m, state, t_eff, dt)
 
     return f

@@ -63,15 +63,17 @@ def test_prefetching_atmosphere_swaps_windows():
 
     grid = latitude_longitude_grid((8, 6, 3), z=(-500.0, 0.0), halo=4)
     pf = PrefetchingAtmosphere.synthetic(grid, window_length=86400.0)
-    starts = set()
+    refs = set()
     for i in range(40):
         t = i * 7200.0
-        atm = pf.atmosphere_for(t)
-        st = atm.at_time(t)
+        atm, t_ref = pf.window_for(t, t + 7200.0)
+        st = atm.at_time(t - t_ref)
         assert bool(jnp.isfinite(st.T).all())
-        assert float(atm.times[0]) <= t + 1e-6
-        starts.add(float(atm.times[0]))
-    assert len(starts) >= 3     # windows rotated
+        assert t_ref + float(atm.times[0]) <= t + 1e-6      # covers t
+        assert t_ref + float(atm.times[-1]) >= t + 7200.0 - 1e-6
+        refs.add(t_ref)
+    assert len(refs) >= 3     # windows rotated
+    assert pf.swaps >= 2
 
 
 def test_strait_transports():

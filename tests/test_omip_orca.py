@@ -19,8 +19,13 @@ def test_omip_orca_100_iterations(tmp_path):
     sim.run()
     assert sim.iteration == 100
     ocean = sim.state["ocean"]
-    assert bool(jnp.isfinite(ocean["T"]).all())
-    assert bool(jnp.isfinite(ocean["u"]).all())
-    assert float(jnp.max(jnp.abs(ocean["u"]))) < 5.0  # bounded spin-up
+    grid = sim.model.ocean.grid
+    H, Ny, Nx = grid.H, grid.Ny, grid.Nx
+    interior = (slice(None), slice(H, H + Ny), slice(H, H + Nx))
+    assert bool(jnp.isfinite(ocean["T"][interior]).all())
+    assert bool(jnp.isfinite(ocean["u"][interior]).all())
+    # bounded spin-up; interior only — halos hold stale intermediate
+    # values at step end and are refreshed before every stencil use
+    assert float(jnp.max(jnp.abs(ocean["u"][interior]))) < 5.0
     ice = sim.state["sea_ice"]
     assert 0.0 <= float(jnp.max(ice["concentration"])) <= 1.0
