@@ -79,7 +79,7 @@ def main():
     # multi-step scan: one dispatch per `nsteps` — amortizes the host->TPU
     # dispatch latency exactly as a production run loop would
     from climaocean_tpu.models.coupled import make_multi_step_fn
-    step = make_multi_step_fn(model, nsteps, donate=True)
+    step = make_multi_step_fn(model, nsteps, donate=False)
 
     # warmup / compile
     t = 6 * 3600.0

@@ -30,7 +30,7 @@ from .weno import weno_upwind, centered_face
 
 
 def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
-                           dzc3=None, dzw3=None):
+                           dzc3=None, dzw3=None, weights="zweno"):
     """Advective tendency of tracer ``c`` (located at centers).
 
     u, v: (Nz, Nyp, Nxp); w: (Nz+1, Nyp, Nxp). Returns (Nz, Nyp, Nxp).
@@ -41,8 +41,8 @@ def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
     dz = grid.dz_c[:, None, None] if dzc3 is None else dzc3
 
     # --- horizontal fluxes ---------------------------------------------------
-    cx = weno_upwind(c, u, X, order, wet_c)
-    cy = weno_upwind(c, v, Y, order, wet_c)
+    cx = weno_upwind(c, u, X, order, wet_c, weights=weights)
+    cy = weno_upwind(c, v, Y, order, wet_c, weights=weights)
     qx = grid.dy_fc * dz * u * grid.wet_u * cx
     qy = grid.dx_cf * dz * v * grid.wet_v * cy
 
@@ -53,7 +53,7 @@ def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
     if vertical_order > 1:
         cz_body = weno_upwind(c, w[..., :-1, :, :], Z,
                               min(vertical_order, order), wet_c,
-                              boundary="clamp")
+                              boundary="clamp", weights=weights)
     else:
         cz_body = centered_face(c, Z)
     cz = jnp.concatenate([cz_body, c[..., -1:, :, :]], axis=Z)   # (Nz+1, ...)

@@ -75,7 +75,7 @@ def vertical_momentum_advection(u, v, w, grid, dzc3=None):
 
 
 def momentum_tendencies(u, v, w, grid, f_ff=None, scheme="vector_invariant",
-                        vorticity_order=5, dzc3=None):
+                        vorticity_order=5, dzc3=None, weights="zweno"):
     """Return (G_u, G_v) from vorticity + KE-gradient + vertical advection +
     Coriolis (folded into absolute vorticity).
 
@@ -103,8 +103,8 @@ def momentum_tendencies(u, v, w, grid, f_ff=None, scheme="vector_invariant",
         # (Oceananigans' WENOVectorInvariant). q lives on y-faces w.r.t. the
         # u-point: shifting q by +1 turns "reconstruct at center j from face
         # data" into the standard "reconstruct at face j from cell data".
-        q_u = weno_upwind(yp1(q), V_fc, Y, vorticity_order)
-        q_v = weno_upwind(xp1(q), U_cf, X, vorticity_order)
+        q_u = weno_upwind(yp1(q), V_fc, Y, vorticity_order, weights=weights)
+        q_v = weno_upwind(xp1(q), U_cf, X, vorticity_order, weights=weights)
     else:
         q_u = myc(q)                           # (f,f) -> (f,c)
         q_v = mxc(q)                           # (f,f) -> (c,f)

@@ -86,7 +86,8 @@ def _beta(order, m, vals):
     raise ValueError(f"unsupported WENO order {order}")
 
 
-def weno_biased(a, axis, order=5, side="left", wet=None, boundary="wrap"):
+def weno_biased(a, axis, order=5, side="left", wet=None, boundary="wrap",
+                weights="zweno"):
     """Biased WENO reconstruction of cell field ``a`` at faces.
 
     side="left": upwind for positive velocity; side="right" is the mirror.
@@ -94,6 +95,12 @@ def weno_biased(a, axis, order=5, side="left", wet=None, boundary="wrap"):
     substencils are penalized out of the nonlinear weights.
     ``boundary``: "wrap" (halo-carrying horizontal axes) or "clamp"
     (zero-gradient extrapolation — the halo-less vertical axis).
+    ``weights``: nonlinear-weight computation — "zweno" (Borges et al.
+    2008 Z-weights, the default) or "normal_division" (classic
+    Jiang–Shu α = d/(β+ε)² — the reference's
+    ``weight_computation=NormalDivision`` operating point for the
+    orca/halfdegree/tenthdegree momentum and OMIP tracer schemes,
+    `omip_simulation.jl:562-564,600`).
     """
     tbl = _LEFT[order]
     K = (order + 1) // 2
@@ -115,17 +122,22 @@ def weno_biased(a, axis, order=5, side="left", wet=None, boundary="wrap"):
             b = b + _PENALTY * pen
         betas.append(b)
 
-    tau = jnp.abs(betas[0] - betas[-1])
     ideal = tbl["ideal"]
-    alphas = [d * (1.0 + (tau / (b + _EPS)) ** 2) for d, b in zip(ideal, betas)]
+    if weights == "normal_division":
+        alphas = [d / (b + _EPS) ** 2 for d, b in zip(ideal, betas)]
+    else:
+        tau = jnp.abs(betas[0] - betas[-1])
+        alphas = [d * (1.0 + (tau / (b + _EPS)) ** 2)
+                  for d, b in zip(ideal, betas)]
     total = sum(alphas)
     return sum(al * r for al, r in zip(alphas, recon)) / total
 
 
-def weno_upwind(a, velocity_sign, axis, order=5, wet=None, boundary="wrap"):
+def weno_upwind(a, velocity_sign, axis, order=5, wet=None, boundary="wrap",
+                weights="zweno"):
     """Upwind WENO value at faces: left-biased where sign >= 0, else right."""
-    left = weno_biased(a, axis, order, "left", wet, boundary)
-    right = weno_biased(a, axis, order, "right", wet, boundary)
+    left = weno_biased(a, axis, order, "left", wet, boundary, weights)
+    right = weno_biased(a, axis, order, "right", wet, boundary, weights)
     return jnp.where(velocity_sign >= 0, left, right)
 
 

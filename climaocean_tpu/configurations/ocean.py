@@ -48,7 +48,8 @@ def default_latlon_closure():
 
 def ocean_simulation(grid, closure=None, momentum_advection="vector_invariant",
                      momentum_order=5, tracer_order=7, free_surface_substeps=70,
-                     timestepper="SplitRungeKutta3", eos=None, zstar=False):
+                     timestepper="SplitRungeKutta3", eos=None, zstar=False,
+                     weno_weights="zweno"):
     """NumericalEarth-`ocean_simulation` equivalent: HydrostaticModel +
     initial state with T/S tracers, TEOS-10 buoyancy, flux-storing surface
     BCs and the CATKE default closure (`default_ocean_closure`)."""
@@ -63,7 +64,8 @@ def ocean_simulation(grid, closure=None, momentum_advection="vector_invariant",
                              momentum_order=momentum_order,
                              tracer_order=tracer_order,
                              substeps=free_surface_substeps, eos=eos,
-                             zstar=zstar, timestepper=timestepper)
+                             zstar=zstar, timestepper=timestepper,
+                             weno_weights=weno_weights)
     return model
 
 

@@ -49,7 +49,8 @@ def _tripolar_closure(biharmonic_timescale, kappa_skew=None, kappa_symmetric=Non
 def _build(Nx, Ny, Nz, depth, halo, substeps, minimum_depth, passes, basins,
            momentum_order, tracer_order, biharmonic_timescale,
            kappa_skew=None, kappa_symmetric=None, closure=None,
-           initialize=True, zstar=False, dir=".", fold_alignment_px=None):
+           initialize=True, zstar=False, dir=".", fold_alignment_px=None,
+           weno_weights="zweno"):
     grid = tripolar_grid((Nx, Ny, Nz), southernmost_latitude=-80.0, halo=halo,
                          z=vertical_coordinate(Nz, depth, zstar),
                          fold_alignment_px=fold_alignment_px)
@@ -71,7 +72,8 @@ def _build(Nx, Ny, Nz, depth, halo, substeps, minimum_depth, passes, basins,
                                              kappa_skew, kappa_symmetric),
         momentum_advection="weno_vector_invariant",
         momentum_order=momentum_order, tracer_order=tracer_order,
-        free_surface_substeps=substeps, zstar=zstar)
+        free_surface_substeps=substeps, zstar=zstar,
+        weno_weights=weno_weights)
     state = model.initial_state()
     if initialize:
         state = set_fields(state, grid,
@@ -89,6 +91,7 @@ def one_degree_tripolar_ocean(Nz=60, depth=6000.0, **kw):
 
 
 def half_degree_tripolar_ocean(Nz=60, depth=6000.0, **kw):
+    kw.setdefault("weno_weights", "normal_division")   # omip_simulation.jl:563
     return _build(720, 360, Nz, depth, halo=5, substeps=150, minimum_depth=20,
                   passes=25, basins=1, momentum_order=5, tracer_order=7,
                   biharmonic_timescale=40 * days, **kw)
@@ -101,6 +104,7 @@ def sixth_degree_tripolar_ocean(Nz=60, depth=6000.0, **kw):
 
 
 def tenth_degree_tripolar_ocean(Nz=100, depth=5500.0, **kw):
+    kw.setdefault("weno_weights", "normal_division")   # omip_simulation.jl:564
     return _build(3600, 1800, Nz, depth, halo=5, substeps=70, minimum_depth=20,
                   passes=40, basins=1, momentum_order=5, tracer_order=7,
                   biharmonic_timescale=None, **kw)

@@ -78,9 +78,27 @@ def download_with_fallback(url, dst_path, filename=None,
 def download_metadatum(meta, url=None, base_url=ARTIFACTS_BASE_URL):
     """Resolve a `Metadatum` to its cache path, downloading when missing —
     the reference's `Downloads.download(metadata)` entry point (call
-    stack SURVEY.md §3.3). With no ``url`` (or no egress) the mirror is
-    the only attempt; failures propagate so `load_native` can fall back
-    to local/synthetic data."""
+    stack SURVEY.md §3.3). The primary URL comes from the dataset's
+    catalog entry (`data.catalog` — per-dataset filename/URL conventions,
+    env-overridable) unless ``url`` overrides it; the artifacts mirror is
+    the fallback either way. Failures propagate so `load_native` can fall
+    back to local/synthetic data."""
+    from .catalog import catalog_entry
+
+    entry = catalog_entry(meta.dataset.name) if meta.dataset else None
+    if entry is not None:
+        try:
+            fname = entry.filename(meta.name, meta.date)
+        except KeyError:
+            fname = None
+        if fname is not None:
+            dst = os.path.join(meta.dir, os.path.basename(fname))
+            if os.path.exists(dst):
+                return dst
+            primary = url or entry.url(meta.name, meta.date)
+            return download_with_fallback(primary, dst,
+                                          filename=os.path.basename(fname),
+                                          base_url=base_url)
     dst = meta.path()
     if os.path.exists(dst):
         return dst

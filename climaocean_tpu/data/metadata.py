@@ -112,18 +112,67 @@ def _month_of(date) -> float | None:
     return None
 
 
-def load_native(meta: Metadatum):
-    """Return (data[nz, nlat, nlon], z_f, lat_f, lon_f) on the dataset's
-    native grid: local file if present (.npz, or any NetCDF in ``dir``
-    holding the variable — reference `metadata_path` + NCDatasets read,
-    SURVEY.md §3.3), else the analytic proxy."""
+def _catalog_netcdf(meta: Metadatum):
+    """Local path of the dataset's canonical file for this metadatum,
+    when the catalog knows the convention and the file exists (reference
+    `metadata_path` — each dataset has a filename convention)."""
+    from .catalog import catalog_entry
+    entry = catalog_entry(meta.dataset.name) if meta.dataset else None
+    if entry is None:
+        return None
+    try:
+        fname = entry.filename(meta.name, meta.date)
+    except KeyError:
+        return None
+    for cand in (os.path.join(meta.dir, fname),
+                 os.path.join(meta.dir, os.path.basename(fname))):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def _convert_teos10(meta: Metadatum, data, z_f, lat_f, lon_f):
+    """Apply in-situ/practical → TEOS-10 conversion at ingestion when the
+    dataset's catalog entry requires it (reference
+    `omip_simulation.jl:408-417`: WOA t_an [in-situ °C] + s_an [PSS-78]
+    → Conservative Temperature + Absolute Salinity)."""
+    from .catalog import catalog_entry, needs_teos10_conversion
+    from ..physics import teos10_conversions as conv
+
+    if meta.dataset is None or \
+            not needs_teos10_conversion(meta.dataset.name, meta.name):
+        return data
+    entry = catalog_entry(meta.dataset.name)
+    if meta.name == "salinity":
+        return conv.sa_from_sp(data)
+    # temperature: needs the companion salinity on the same native grid
+    # (constant 35 PSS when the dataset's salinity file is absent — the
+    # pressure/salinity sensitivity of the conversion is weak)
+    T = np.asarray(data, np.float64)
+    if entry.temperature_kelvin:
+        T = T - 273.15
+    try:
+        smeta = Metadatum("salinity", meta.date, meta.dataset, meta.dir)
+        SP, sz_f, *_ = _load_native_raw(smeta)
+        if SP.shape != T.shape:
+            raise ValueError("salinity companion shape mismatch")
+    except Exception:
+        SP = np.full_like(T, 35.0)
+    z_c = 0.5 * (np.asarray(z_f[:-1]) + np.asarray(z_f[1:]))
+    p = conv.pressure_from_depth(z_c)[:, None, None]
+    pt = conv.potential_temperature(SP, T, p, 0.0)
+    return conv.ct_from_pt(conv.sa_from_sp(SP), pt)
+
+
+def _load_native_raw(meta: Metadatum):
+    """`load_native` without the TEOS-10 conversion step."""
     p = meta.path()
     if os.path.exists(p):
         with np.load(p) as f:
             return (np.asarray(f["data"], np.float64), f["z_faces"],
                     f["lat_f"], f["lon_f"])
     from .netcdf import find_netcdf, load_field
-    nc_path = find_netcdf(meta.dir, meta.name)
+    nc_path = _catalog_netcdf(meta) or find_netcdf(meta.dir, meta.name)
     if nc_path is not None:
         month = _month_of(meta.date)
         t_index = 0 if month is None else int(month) - 1
@@ -131,6 +180,10 @@ def load_native(meta: Metadatum):
     if meta.name not in _SYNTH_VARS:
         raise KeyError(f"no local file at {p} and no synthetic proxy for "
                        f"'{meta.name}'")
+    return None
+
+
+def _synthetic_native(meta: Metadatum):
     z_f, lat_f, lon_f = _native_grid(meta)
     lat_c = 0.5 * (lat_f[:-1] + lat_f[1:])
     lon_c = 0.5 * (lon_f[:-1] + lon_f[1:])
@@ -144,6 +197,23 @@ def load_native(meta: Metadatum):
     else:
         data = fn(LON[None], LAT[None], z_c[:, None, None], month=month)
     return np.asarray(data, np.float64), z_f, lat_f, lon_f
+
+
+def load_native(meta: Metadatum):
+    """Return (data[nz, nlat, nlon], z_f, lat_f, lon_f) on the dataset's
+    native grid: local file if present (.npz, the catalog's canonical
+    NetCDF filename, or any NetCDF in ``dir`` holding the variable —
+    reference `metadata_path` + NCDatasets read, SURVEY.md §3.3), else the
+    analytic proxy. File-backed in-situ/practical T/S (WOA, EN4, …) are
+    converted to TEOS-10 Θ/S_A here (`omip_simulation.jl:408-417`); the
+    synthetic proxies already emit TEOS-10 conventions."""
+    loaded = _load_native_raw(meta)
+    if loaded is None:
+        return _synthetic_native(meta)
+    data, z_f, lat_f, lon_f = loaded
+    if not os.path.exists(meta.path()):      # .npz caches are pre-converted
+        data = _convert_teos10(meta, data, z_f, lat_f, lon_f)
+    return data, z_f, lat_f, lon_f
 
 
 def regrid_to_grid(meta: Metadatum, grid, surface=False):

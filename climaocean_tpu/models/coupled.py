@@ -221,7 +221,12 @@ def _with_window(model, prefetcher, t, t_end):
     return dataclasses.replace(model, atmosphere=win), t - t_ref
 
 
-def make_multi_step_fn(model, n_steps, donate=True, prefetcher=None):
+def make_multi_step_fn(model, n_steps, donate=False, prefetcher=None):
+    """donate=False is the measured-fast default: donating the input state
+    to the jitted step runs ~4x SLOWER on the TPU v5e target (368 vs 94
+    ms/step on the 1/4-degree coupled benchmark) — input/output buffer
+    aliasing defeats XLA's scheduling here, and HBM is not the constraint
+    (the extra copy of the state is ~0.3 GB)."""
     jitted = _jit_multi_step(n_steps, donate)
 
     def f(state, t0, dt):
@@ -250,7 +255,7 @@ def make_batched_step_fn(model, donate=False, prefetcher=None):
     return f
 
 
-def make_coupled_step_fn(model, donate=True, prefetcher=None):
+def make_coupled_step_fn(model, donate=False, prefetcher=None):
     """Jitted ``(state, t, dt) -> state``. The model pytree is passed as an
     argument on every call (arrays already live on device — this is free)
     so its leaves are HLO parameters, never embedded literals. With a

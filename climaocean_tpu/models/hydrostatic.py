@@ -68,7 +68,8 @@ SW_SCALE2 = 23.0     # m
          meta_fields=["momentum_scheme", "momentum_order", "tracer_order",
                       "eos", "substeps", "g", "rotation_rate", "rk3_gammas",
                       "stage_mode", "zstar", "timestepper", "ab2_chi",
-                      "bottom_drag_coefficient", "consistent_transport"])
+                      "bottom_drag_coefficient", "consistent_transport",
+                      "weno_weights"])
 @dataclass(frozen=True)
 class HydrostaticModel:
     """Model configuration. Registered as a pytree so the grid's metric and
@@ -118,6 +119,11 @@ class HydrostaticModel:
     # advection with the barotropic scan — measured ~25% faster steps on
     # the 1/4° benchmark workload.
     consistent_transport: object = None
+    # WENO nonlinear-weight computation: "zweno" (Borges Z-weights) or
+    # "normal_division" (classic Jiang-Shu division — the reference's
+    # `weight_computation=NormalDivision` operating point for the
+    # orca/halfdegree/tenthdegree configs, omip_simulation.jl:562-564,600).
+    weno_weights: str = "zweno"
 
     def roms_ordering(self):
         ct = self.consistent_transport
@@ -241,7 +247,7 @@ def _tracer_advection_terms(model, T, S, u, v, w, sigma, dzc3):
     grid = model.grid
     TS = jnp.stack([T, S])
     G_TS = tracer_flux_divergence(TS, u, v, w, grid, model.tracer_order,
-                                  dzc3=dzc3)
+                                  dzc3=dzc3, weights=model.weno_weights)
     if sigma is not None:
         # convert per-moving-volume tendency to thickness-weighted ∂t(σc)
         G_TS = G_TS * sigma[None, None]
@@ -300,7 +306,8 @@ def tendencies(model, state, fluxes, tracer_advection=True):
     f_ff = coriolis_ff(grid, model.rotation_rate)
     G_u, G_v = momentum_tendencies(u, v, w, grid, f_ff,
                                    scheme=model.momentum_scheme,
-                                   vorticity_order=model.momentum_order)
+                                   vorticity_order=model.momentum_order,
+                                   weights=model.weno_weights)
 
     # --- baroclinic pressure gradient --------------------------------------
     dz = grid.dz_c[:, None, None] if dzc3 is None else dzc3

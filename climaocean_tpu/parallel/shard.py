@@ -222,7 +222,7 @@ def _fold_params(grid, px):
     return (p, nx_loc)
 
 
-def make_sharded_step_fn(model, mesh: Mesh, donate=True):
+def make_sharded_step_fn(model, mesh: Mesh, donate=False):
     """Jitted ocean step running under `shard_map` with explicit ppermute
     halo exchange. Returns (step_fn, partition_fn, unpartition_fn):
 
@@ -299,7 +299,7 @@ def make_sharded_step_fn(model, mesh: Mesh, donate=True):
     return step_fn, partition, unpartition
 
 
-def make_sharded_coupled_step_fn(model, mesh: Mesh, donate=True):
+def make_sharded_coupled_step_fn(model, mesh: Mesh, donate=False):
     """Jitted FULL coupled step (atmosphere time-interp → bulk fluxes → EVP
     sea ice → ocean) under `shard_map` with ppermute halo exchange.
 

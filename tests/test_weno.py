@@ -57,3 +57,36 @@ def test_dry_cell_penalty_falls_back_to_wet_stencil():
     # polluted by the garbage at cells >= 20
     expected = 0.5 * (a[18] + a[19])
     assert abs(r[19] - expected) < 0.05
+
+
+def test_normal_division_weights():
+    """`weights="normal_division"` (reference NormalDivision,
+    omip_simulation.jl:562-564): classic Jiang-Shu weights — exact on
+    smooth data at design order, non-oscillatory at jumps."""
+    N = 64
+    x = np.linspace(0, 2 * np.pi, N, endpoint=False)
+    a = np.sin(x).astype(np.float32)[None, None, :]
+    aj = jnp.asarray(a)
+
+    @jax.jit
+    def recon(a):
+        return weno_biased(a, -1, 5, "left", weights="normal_division")
+
+    r = np.asarray(recon(aj))[0, 0]
+    # face i sits between centers i-1, i
+    xf = x - (x[1] - x[0]) / 2
+    assert np.max(np.abs(r - np.sin(xf))) < 2e-3
+
+    jump = np.zeros(N, dtype=np.float32)
+    jump[N // 2:] = 1.0
+    rj = np.asarray(recon(jnp.asarray(jump)[None, None, :]))
+    assert rj.min() > -0.02 and rj.max() < 1.02
+
+
+def test_normal_division_plumbed_through_model():
+    from climaocean_tpu.configurations.tripolar import half_degree_tripolar_ocean
+    import inspect
+    src = inspect.getsource(half_degree_tripolar_ocean)
+    assert "normal_division" in src
+    from climaocean_tpu.models.hydrostatic import HydrostaticModel
+    assert HydrostaticModel.__dataclass_fields__["weno_weights"].default == "zweno"
