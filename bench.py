@@ -79,19 +79,25 @@ def main():
     # multi-step scan: one dispatch per `nsteps` — amortizes the host->TPU
     # dispatch latency exactly as a production run loop would
     from climaocean_tpu.models.coupled import make_multi_step_fn
-    step = make_multi_step_fn(model, nsteps, donate=False)
+    step = make_multi_step_fn(model, nsteps,
+                              donate=bool(os.environ.get("BENCH_DONATE")))
 
-    # warmup / compile
+    # warmup / compile — MUST end with a real device->host transfer:
+    # block_until_ready returns early on the tunneled-TPU transport, and an
+    # unflushed warmup (incl. the async remote-compile tail) otherwise leaks
+    # into the timed window and inflates it ~4x
     t = 6 * 3600.0
     state = step(state, t, dt)
-    jax.block_until_ready(state)
-
-    t0 = time.perf_counter()
-    state = step(state, t + nsteps * dt, dt)
-    # force a real device->host transfer: block_until_ready alone can return
-    # early on the tunneled-TPU transport
     float(jnp.sum(state["ocean"]["T"]))
-    elapsed = (time.perf_counter() - t0) / nsteps
+
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        state = step(state, t + (rep + 1) * nsteps * dt, dt)
+        # force a real device->host transfer (see warmup note)
+        float(jnp.sum(state["ocean"]["T"]))
+        best = min(best, (time.perf_counter() - t0) / nsteps)
+    elapsed = best
 
     assert not bool(jnp.isnan(state["ocean"]["T"]).any()), "bench produced NaNs"
 

@@ -222,11 +222,11 @@ def _with_window(model, prefetcher, t, t_end):
 
 
 def make_multi_step_fn(model, n_steps, donate=False, prefetcher=None):
-    """donate=False is the measured-fast default: donating the input state
-    to the jitted step runs ~4x SLOWER on the TPU v5e target (368 vs 94
-    ms/step on the 1/4-degree coupled benchmark) — input/output buffer
-    aliasing defeats XLA's scheduling here, and HBM is not the constraint
-    (the extra copy of the state is ~0.3 GB)."""
+    """Donation is measured perf-NEUTRAL on the TPU target (94.1 vs 93.8
+    ms/step on the 1/4-degree coupled benchmark with properly-flushed
+    timing); default False so callers can reuse the input state (e.g.
+    writers snapshotting the pre-step state), since HBM is not the
+    constraint (the extra state copy is ~0.3 GB)."""
     jitted = _jit_multi_step(n_steps, donate)
 
     def f(state, t0, dt):

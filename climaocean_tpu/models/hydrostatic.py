@@ -69,7 +69,7 @@ SW_SCALE2 = 23.0     # m
                       "eos", "substeps", "g", "rotation_rate", "rk3_gammas",
                       "stage_mode", "zstar", "timestepper", "ab2_chi",
                       "bottom_drag_coefficient", "consistent_transport",
-                      "weno_weights"])
+                      "weno_weights", "adaptive_vertical_cfl"])
 @dataclass(frozen=True)
 class HydrostaticModel:
     """Model configuration. Registered as a pytree so the grid's metric and
@@ -124,6 +124,17 @@ class HydrostaticModel:
     # `weight_computation=NormalDivision` operating point for the
     # orca/halfdegree/tenthdegree configs, omip_simulation.jl:562-564,600).
     weno_weights: str = "zweno"
+    # Adaptive vertically-implicit ADVECTION (reference
+    # `AdaptiveVerticallyImplicitDiscretization(cfl=0.4)`, `orca.jl:11-12`):
+    # where the vertical tracer CFL exceeds `cfl`, the excess vertical
+    # velocity w_i = w − clip(w, ±cfl·Δz_f/Δt) advects implicitly (first-
+    # order upwind folded into the vertical tridiagonal solve) so strong
+    # convective plumes don't constrain Δt. Splitting is exact for constant
+    # tracers: the explicit update leaves c(1 + Δt ∂z w_i), which the
+    # implicit operator (1 + Δt ∂z w_i·) inverts back to c. Applied to
+    # tracers (the binding constraint); momentum keeps explicit vertical
+    # advection. None = fully explicit.
+    adaptive_vertical_cfl: object = None
 
     def roms_ordering(self):
         ct = self.consistent_transport

@@ -40,7 +40,9 @@ from ..core.halo import fill_halos
 from ..core.stencil import dxc, dxf, dyc, dyf, mxc, mxf, mxyc, mxyf, myc, myf
 from ..coupler import radiation as rad
 from ..coupler.similarity_theory import SimilarityTheoryFluxes, FixedRoughnessLength
-from ..coupler.thermodynamics import CELSIUS, LS, saturation_specific_humidity
+from ..coupler.thermodynamics import (CELSIUS, CP_AIR, LS, R_VAP,
+                                      STEFAN_BOLTZMANN, air_density,
+                                      saturation_specific_humidity)
 from .hydrostatic import SurfaceFluxes
 
 RHO_ICE = 917.0
@@ -84,8 +86,13 @@ class SeaIceModel:
     def initial_state(self):
         grid = self.grid
         z = grid.new_surface_field()
+        # σ1 = σ11+σ22, σ2 = σ11−σ22 (centers), σ12 (corners) are PROGNOSTIC:
+        # EVP carries the internal stress between coupled steps (Hunke &
+        # Dukowicz 1997 — re-zeroing each step loses the elastic memory and
+        # re-pays the spin-up transient every step)
         return {"thickness": z, "concentration": z, "snow": z,
-                "Ts": z - 10.0, "u": z, "v": z}
+                "Ts": z - 10.0, "u": z, "v": z,
+                "sigma1": z, "sigma2": z, "sigma12": z}
 
     def flux_solver(self):
         return self.atmosphere_fluxes or default_ice_atmosphere_fluxes()
@@ -128,8 +135,19 @@ def slab_thermodynamics(model, ice, ocean_state, atmos, dt):
     # conductance of the slab (ice + snow in series), bottom at T_f
     h_eff = jnp.maximum(h / jnp.maximum(a, 1e-3), 0.05)
     cond = 1.0 / (h_eff / K_ICE + hs / jnp.maximum(a, 1e-3) / K_SNOW + 1e-3)
-    # d(Q_atm)/dTs ≈ -(4 εσ Ts³ + ρ cp Ch U) — use a robust constant slope
-    dQdT = -20.0
+    # d(Q_atm)/dTs — linearization of the actual flux balance (reference
+    # three-equation/implicit-Ts intent, `omip_simulation.jl:40-113`):
+    #   longwave:  −4 ε σ Ts³
+    #   sensible:  −ρₐ cₚ Cₕ U          (fixed-roughness neutral Cₕ from the
+    #                                    ice flux config z0=5e-4, z0s=5e-5)
+    #   latent:    −ρₐ Lₛ Cₕ U ∂q_sat/∂T   (Clausius–Clapeyron)
+    rho_a = air_density(atmos.T, atmos.p, atmos.q)
+    wind = jnp.sqrt((atmos.u - ice["u"]) ** 2 + (atmos.v - ice["v"]) ** 2
+                    + 0.2 ** 2)
+    Ch_i = 0.4 ** 2 / (jnp.log(10.0 / 5e-4) * jnp.log(10.0 / 5e-5))  # ≈1.3e-3
+    dqs_dT = q_surf * LS / (R_VAP * Ts_K ** 2)
+    dQdT = -(4.0 * 0.985 * STEFAN_BOLTZMANN * Ts_K ** 3
+             + rho_a * wind * Ch_i * (CP_AIR + LS * dqs_dT))
     Q_cond = cond * (Tf - Ts)                          # W/m² into the top from below
     Ts_new = Ts + (Q_atm + Q_cond) / (cond - dQdT)
     Ts_new = jnp.minimum(Ts_new, 0.0)                  # capped at melting
@@ -285,7 +303,10 @@ def evp_dynamics(model, ice, ocean_state, atmos, dt):
         return (u_new, v_new, s1, s2, s12), None
 
     z = jnp.zeros_like(h)
-    init = (ice["u"], ice["v"], z, z, z)
+    # stresses are prognostic: resume from last step's σ (missing keys fall
+    # back to zero for states built before the stress-carrying change)
+    init = (ice["u"], ice["v"], ice.get("sigma1", z), ice.get("sigma2", z),
+            ice.get("sigma12", z))
     (u, v, s1, s2, s12), _ = jax.lax.scan(body, init, None,
                                           length=model.substeps)
 
@@ -293,7 +314,8 @@ def evp_dynamics(model, ice, ocean_state, atmos, dt):
     # ocean feels the opposite sign of the drag the ice feels)
     tau_iox = RHO_OCEAN * Cd_io * jnp.sqrt((u - mxf(uo)) ** 2 + 1e-4) * (u - mxf(uo))
     tau_ioy = RHO_OCEAN * Cd_io * jnp.sqrt((v - myf(vo)) ** 2 + 1e-4) * (v - myf(vo))
-    return dict(ice, u=u, v=v), tau_iox, tau_ioy
+    return dict(ice, u=u, v=v, sigma1=s1, sigma2=s2, sigma12=s12), \
+        tau_iox, tau_ioy
 
 
 def advect_ice(model, ice, dt):
@@ -332,6 +354,12 @@ def step(model, ice, ocean_state, atmos, coupled, dt):
                snow=fill_halos(ice["snow"], grid),
                u=fill_halos(ice["u"], grid, "u", vector=True),
                v=fill_halos(ice["v"], grid, "v", vector=True))
+    # prognostic EVP stresses feed ±1 stencils in the first substep; σ1/σ2/σ12
+    # are invariant under the fold's 180° rotation (σ' = RσRᵀ with R = −I),
+    # so a scalar halo fill is exact
+    for k in ("sigma1", "sigma2", "sigma12"):
+        if k in ice:
+            ice[k] = fill_halos(ice[k], grid)
     if model.dynamics:
         ice, tau_iox, tau_ioy = evp_dynamics(model, ice, ocean_state, atmos, dt)
         ice = advect_ice(model, ice, dt)

@@ -106,17 +106,65 @@ def _load_scalars(c):
 
 
 def atlantic_ocean_basin(grid):
-    """Atlantic basin mask at centers, interior (Ny, Nx) — reference
-    `atlantic_ocean_basin(grid)` (`visualize/cache.jl:1178`). Geographic
-    box-polygon: between the Americas and Afro-Europe, 35°S to the Arctic."""
+    """Atlantic(+Arctic) basin mask at centers, interior (Ny, Nx) —
+    reference `atlantic_ocean_basin(grid)` (`visualize/cache.jl:1178`).
+
+    Flood fill of the wet mask from mid-Atlantic seed points (connected-
+    component labeling, periodic-x aware), with geographic barriers where
+    the real ocean connects basins: the Southern Ocean cut at 31°S, the Bering Strait, and the Indonesian
+    throughflow — so Pacific water cannot leak into the AMOC integral the
+    way the round-1 box polygon allowed."""
+    from scipy import ndimage
+
     H = grid.H
     lat = np.asarray(grid.lat_cc)[H:H + grid.Ny, H:H + grid.Nx]
     lon = ((np.asarray(grid.lon_cc)[H:H + grid.Ny, H:H + grid.Nx]
             + 180.0) % 360.0) - 180.0
-    west = np.where(lat > 10.0, -98.0, np.where(lat > 0.0, -85.0, -70.0))
-    east = np.where(lat > 65.0, 60.0, np.where(lat > 35.0, 0.0, 20.0))
-    mask = (lat > -35.0) & (lon > west) & (lon < east)
     wet = np.asarray(grid.wet_c[-1])[H:H + grid.Ny, H:H + grid.Nx] > 0
+
+    barrier = lat <= -31.0       # Southern Ocean cut (north of the African
+    #                               tip so coarse/idealized coastlines cannot
+    #                               open an Atlantic->Indian channel)
+    # Pacific-Arctic sector: on the real Earth everything poleward of 63°N
+    # outside the Atlantic sector (Greenland/Norwegian seas + Canadian
+    # archipelago approaches, ~100°W..60°E) is Siberia/Alaska land except
+    # the Bering Strait, so blocking the sector severs Pacific<->Arctic
+    # while keeping the GIN-seas Atlantic-Arctic connection open
+    barrier |= (lat > 63.0) & ((lon > 60.0) | (lon < -100.0))
+    barrier |= (lat > -12.0) & (lat < 8.0) & \
+        (lon > 95.0) & (lon < 135.0)                              # ITF passages
+    allowed = wet & ~barrier
+
+    labels, _ = ndimage.label(allowed)
+    # merge components split by the periodic-x seam
+    left, right = labels[:, 0], labels[:, -1]
+    join = {}
+    for a, b in zip(left, right):
+        if a and b and a != b:
+            ra, rb = join.get(a, a), join.get(b, b)
+            if ra != rb:
+                join[max(ra, rb)] = min(ra, rb)
+    if join:
+        flat = labels.copy()
+        for a in sorted(join, reverse=True):
+            flat[flat == a] = join[a]
+        labels = flat
+
+    seeds = [(-30.0, 0.0), (-40.0, 30.0), (-25.0, -20.0), (-45.0, 45.0),
+             (-30.0, 60.0)]
+    seed_labels = set()
+    for slon, slat in seeds:
+        d2 = (lat - slat) ** 2 + (np.minimum(np.abs(lon - slon),
+                                             360 - np.abs(lon - slon))) ** 2
+        d2 = np.where(allowed, d2, np.inf)
+        j, i = np.unravel_index(np.argmin(d2), d2.shape)
+        if allowed[j, i] and d2[j, i] < 15.0 ** 2:
+            seed_labels.add(labels[j, i])
+    seed_labels.discard(0)
+    if not seed_labels:        # no Atlantic water resolved (tiny test grids)
+        return (wet & (lat > -31.0) & (lon > -98.0) & (lon < 20.0)
+                ).astype(np.float32)
+    mask = np.isin(labels, sorted(seed_labels))
     return (mask & wet).astype(np.float32)
 
 
@@ -124,16 +172,73 @@ def atlantic_ocean_basin(grid):
 def _load_amoc(c):
     """Atlantic meridional overturning streamfunction ψ(y, z) [Sv] from
     saved vvol (reference `cache.jl:1195-1211`:
-    ψ = −cumsum_z Σ_atlantic vvol)."""
+    ψ = −cumsum_z Σ_atlantic vvol), plus the RAPID-comparable 26.5°N
+    maximum-overturning time series (reference baseline `common.jl`:
+    RAPID)."""
     f = c.get("fields")
     vvol = f["vvol"]                    # (time, Nz, Ny, Nx)
+    out = {}
     if c.grid is not None:
         basin = atlantic_ocean_basin(c.grid)[None, None]
         zonal = (vvol * basin).sum(axis=-1)
+        H = c.grid.H
+        lat2 = np.asarray(c.grid.lat_cc)[H:H + c.grid.Ny, H:H + c.grid.Nx]
+        nb = np.maximum(basin[0, 0].sum(axis=-1), 1.0)
+        row_lat = (lat2 * basin[0, 0]).sum(axis=-1) / nb
+        out["lat"] = row_lat
     else:
         zonal = vvol.sum(axis=-1)
     psi = -np.cumsum(zonal[:, ::-1, :], axis=1)[:, ::-1, :] / SVERDRUP
-    return {"psi": psi.mean(axis=0), "psi_series": psi.max(axis=(1, 2))}
+    out.update({"psi": psi.mean(axis=0), "psi_series": psi.max(axis=(1, 2)),
+                "time": f["time"]})
+    if "lat" in out and np.isfinite(out["lat"]).any():
+        j265 = int(np.nanargmin(np.abs(out["lat"] - 26.5)))
+        out["amoc_26n"] = psi[:, :, j265].max(axis=1)
+    return out
+
+
+@CaseCache.loader("straits")
+def _load_straits(c):
+    """Strait-transport time series [Sv] from saved 3-D u/v output
+    (reference offline `strait_transports`, `strait_transports.jl:87-108`)."""
+    from .strait_transports import strait_sections, section_volume_flux
+
+    f = c.get("fields")
+    secs = strait_sections(c.grid)
+    out = {"time": f["time"]}
+    for name, sec in secs.items():
+        out[name] = np.array([
+            section_volume_flux(sec, c.grid, u=f["u"][t], v=f["v"][t])
+            for t in range(f["u"].shape[0])])
+    return out
+
+
+def _bias(c, cmor, varname):
+    """Time-mean surface field minus the ingested climatology (reference
+    SST/SSS bias products, `visualize/cache.jl` :sst_bias ← :sst −
+    :woa_temperature)."""
+    from ..data.metadata import Metadatum, WOAAnnual, regrid_to_grid
+
+    s = c.get("surface")
+    mean = s[cmor].mean(axis=0)
+    clim_dir = getattr(c, "clim_dir", None) or os.path.join(c.dir, "clim")
+    meta = Metadatum(varname, dataset=WOAAnnual(), dir=clim_dir)
+    clim = regrid_to_grid(meta, c.grid, surface=True)
+    wet = np.asarray(c.grid.wet_c[-1])[c.grid.H:c.grid.H + c.grid.Ny,
+                                       c.grid.H:c.grid.H + c.grid.Nx] > 0
+    bias = np.where(wet, mean - clim, np.nan)
+    rms = float(np.sqrt(np.nanmean(bias[wet] ** 2)))
+    return {"bias": bias, "mean": mean, "clim": clim, "rms": np.float64(rms)}
+
+
+@CaseCache.loader("sst_bias")
+def _load_sst_bias(c):
+    return _bias(c, "tos", "temperature")
+
+
+@CaseCache.loader("sss_bias")
+def _load_sss_bias(c):
+    return _bias(c, "sos", "salinity")
 
 
 @CaseCache.loader("ice")

@@ -8,10 +8,9 @@ SURVEY.md §2b "Simulation, run!, ..."; `omip_simulation.jl:364-403`).
 Design: the model step stays a single jitted pure function; the Python-side
 loop only touches the device when a callback/writer actually fires
 (SURVEY.md §7 hard part (g): the reference's per-iteration host reductions
-are a known cost — ours are periodic and batched). State buffers are NOT
-donated between steps: donation measured ~4x slower on the v5e target
-(input/output aliasing defeats XLA's scheduling) and the extra state copy
-is small next to HBM.
+are a known cost — ours are periodic and batched). State buffers are not
+donated between steps: donation measured perf-neutral on the TPU target,
+and not donating lets callbacks/writers keep reading the previous state.
 """
 
 from __future__ import annotations
