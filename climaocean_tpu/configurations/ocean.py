@@ -49,7 +49,7 @@ def default_latlon_closure():
 def ocean_simulation(grid, closure=None, momentum_advection="vector_invariant",
                      momentum_order=5, tracer_order=7, free_surface_substeps=70,
                      timestepper="SplitRungeKutta3", eos=None, zstar=False,
-                     weno_weights="zweno"):
+                     weno_weights="zweno", adaptive_vertical_cfl=None):
     """NumericalEarth-`ocean_simulation` equivalent: HydrostaticModel +
     initial state with T/S tracers, TEOS-10 buoyancy, flux-storing surface
     BCs and the CATKE default closure (`default_ocean_closure`)."""
@@ -65,7 +65,8 @@ def ocean_simulation(grid, closure=None, momentum_advection="vector_invariant",
                              tracer_order=tracer_order,
                              substeps=free_surface_substeps, eos=eos,
                              zstar=zstar, timestepper=timestepper,
-                             weno_weights=weno_weights)
+                             weno_weights=weno_weights,
+                             adaptive_vertical_cfl=adaptive_vertical_cfl)
     return model
 
 

@@ -90,6 +90,7 @@ def orca_ocean(Nz=60, depth=6000.0, closure=None, initialize=True,
         momentum_advection="weno_vector_invariant",
         momentum_order=5, tracer_order=5,
         weno_weights="normal_division",     # orca.jl:11, omip_simulation.jl:562
+        adaptive_vertical_cfl=0.4,          # AdaptiveVerticallyImplicit..., orca.jl:11-12
         free_surface_substeps=free_surface_substeps)
     state = model.initial_state()
     if initialize:

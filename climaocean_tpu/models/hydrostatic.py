@@ -253,19 +253,44 @@ def column_sigma(model, eta):
     return jnp.where(H_col > 0, jnp.clip(sig, 0.1, 10.0), 1.0)
 
 
-def _tracer_advection_terms(model, T, S, u, v, w, sigma, dzc3):
-    """Advective T/S tendencies (thickness-weighted under z★)."""
+def _split_vertical_velocity(model, w, dt):
+    """Adaptive implicit-advection split (reference
+    `AdaptiveVerticallyImplicitDiscretization(cfl)`, `orca.jl:11-12`):
+    w = w_explicit + w_implicit with w_explicit = clip(w, ±cfl·Δz_f/Δt).
+    Returns (w_explicit, w_implicit or None). The CFL bound uses the static
+    Δz_f (under z★ the σ stretch is O(η/H) ≪ 1 — a stabilization bound, not
+    a conservation-critical metric)."""
+    cfl = model.adaptive_vertical_cfl
+    if cfl is None or dt is None:
+        return w, None
     grid = model.grid
+    w_max = (cfl / dt) * grid.dz_f[:, None, None]
+    w_i = (w - jnp.clip(w, -w_max, w_max)) * grid.wet_w
+    # the free-surface face carries NO implicit flux (the tridiagonal's
+    # top super-diagonal is dropped by the solver, which would make the
+    # surface flux one-sided and leak tracer) — it stays fully explicit,
+    # where w at the surface is the tiny −∂η/∂t residual anyway
+    w_i = w_i.at[..., -1, :, :].set(0.0)
+    return w - w_i, w_i
+
+
+def _tracer_advection_terms(model, T, S, u, v, w, sigma, dzc3, dt=None):
+    """Advective T/S tendencies (thickness-weighted under z★). Returns
+    (G_T, G_S, w_implicit): with `adaptive_vertical_cfl` set, the super-CFL
+    part of w is withheld here and returned for the implicit vertical
+    solve."""
+    grid = model.grid
+    w_e, w_i = _split_vertical_velocity(model, w, dt)
     TS = jnp.stack([T, S])
-    G_TS = tracer_flux_divergence(TS, u, v, w, grid, model.tracer_order,
+    G_TS = tracer_flux_divergence(TS, u, v, w_e, grid, model.tracer_order,
                                   dzc3=dzc3, weights=model.weno_weights)
     if sigma is not None:
         # convert per-moving-volume tendency to thickness-weighted ∂t(σc)
         G_TS = G_TS * sigma[None, None]
-    return G_TS[0], G_TS[1]
+    return G_TS[0], G_TS[1], w_i
 
 
-def tracer_advection_tendency(model, state_f, averaged):
+def tracer_advection_tendency(model, state_f, averaged, dt=None):
     """ROMS-ordered tracer advection: advect with the tendency-state
     velocities corrected so their (σ-weighted) depth-integrated transport
     equals the barotropic solve's mass-consistent effective transport
@@ -286,10 +311,10 @@ def tracer_advection_tendency(model, state_f, averaged):
     v_adv = fill_halos(v_adv, grid, "v", vector=True) * grid.wet_v
     w_adv = diagnose_w(u_adv, v_adv, grid, dzc3)
     return _tracer_advection_terms(model, state_f["T"], state_f["S"],
-                                   u_adv, v_adv, w_adv, sigma, dzc3)
+                                   u_adv, v_adv, w_adv, sigma, dzc3, dt=dt)
 
 
-def tendencies(model, state, fluxes, tracer_advection=True):
+def tendencies(model, state, fluxes, tracer_advection=True, dt=None):
     """Explicit tendencies for u, v, T, S (barotropic η-gradient excluded —
     it lives in the substepped 2-D mode). With z★ the returned tracer
     tendencies are THICKNESS-WEIGHTED: G_c = ∂t(σ c).
@@ -335,11 +360,13 @@ def tendencies(model, state, fluxes, tracer_advection=True):
         G_u = G_u + mxf(zfac) * dxf(eta_f) / grid.dx_fc * grid.wet_u
         G_v = G_v + myf(zfac) * dyf(eta_f) / grid.dy_cf * grid.wet_v
 
+    w_impl = None
     if tracer_advection:
         # batched: one WENO graph instance for T and S — keeps the
         # serialized HLO small; the stencil ops broadcast over the leading
         # axis
-        G_T, G_S = _tracer_advection_terms(model, T, S, u, v, w, sigma, dzc3)
+        G_T, G_S, w_impl = _tracer_advection_terms(model, T, S, u, v, w,
+                                                   sigma, dzc3, dt=dt)
     else:
         G_T = jnp.zeros_like(T)
         G_S = jnp.zeros_like(S)
@@ -375,12 +402,19 @@ def tendencies(model, state, fluxes, tracer_advection=True):
         if sigma is not None and k in ("T", "S"):
             t = t * sigma[None]               # thickness-weight tracer terms
         G[k] = G[k] + t
+    if w_impl is not None:
+        G["_w_impl"] = w_impl                 # popped by the steppers
 
     return G, aux, state
 
 
-def implicit_vertical_step(model, state, aux, dt):
-    """Implicit vertical mixing of u, v, T, S (+ closure prognostics)."""
+def implicit_vertical_step(model, state, aux, dt, w_impl=None):
+    """Implicit vertical mixing of u, v, T, S (+ closure prognostics).
+
+    ``w_impl``: super-CFL vertical velocity withheld from explicit tracer
+    advection (`_split_vertical_velocity`) — folded into the T/S tridiagonal
+    as first-order upwind implicit advection (reference
+    `AdaptiveVerticallyImplicitDiscretization`, `orca.jl:11-12`)."""
     grid = model.grid
     nu_w, kap_w = sum_diffusivities(model.closures, grid, state, aux)
 
@@ -392,6 +426,19 @@ def implicit_vertical_step(model, state, aux, dt):
 
     a, b, c = implicit_vertical_diffusion_matrix(
         kap_w, dz_c, dz_f, dt, grid.wet_c, grid.wet_w)
+    if w_impl is not None:
+        # upwind flux F[k] = w⁺[k] x[k-1] + w⁻[k] x[k] at face k, treated
+        # implicitly: x[k] + Δt/Δz (F[k+1] − F[k]) = rhs. Row action on a
+        # constant is (1 + Δt ∂z w_i)·x — exactly undoing the explicit
+        # update's (1 + Δt ∂z w_i) factor, so constants are preserved.
+        dzc3 = dz_c[:, None, None] if dz_c.ndim == 1 else dz_c
+        wi = w_impl * grid.wet_w
+        wp = jnp.maximum(wi, 0.0)
+        wm = jnp.minimum(wi, 0.0)
+        lam = dt / dzc3 * grid.wet_c
+        a = a - lam * wp[:-1]
+        b = b + lam * (wp[1:] - wm[:-1])
+        c = c + lam * wm[1:]
     TS = jax.vmap(solve_tridiagonal, in_axes=(None, None, None, 0))(
         a, b, c, jnp.stack([state["T"], state["S"]]) * grid.wet_c)
     T, S = TS[0], TS[1]
@@ -419,7 +466,8 @@ def rk3_substage(model, state0, state_prev, fluxes, dt_stage, substeps):
     grid = model.grid
     roms = model.roms_ordering()
     G, aux, state_prev = tendencies(model, state_prev, fluxes,
-                                    tracer_advection=not roms)
+                                    tracer_advection=not roms, dt=dt_stage)
+    w_impl = G.pop("_w_impl", None)
 
     # barotropic forcing: depth-integral of the slow momentum tendencies
     dz = grid.dz_c[:, None, None]
@@ -435,7 +483,8 @@ def rk3_substage(model, state0, state_prev, fluxes, dt_stage, substeps):
         fill_V=lambda a: fill_halos(a, grid, "v", vector=True))
 
     if roms:
-        adv_T, adv_S = tracer_advection_tendency(model, state_prev, averaged)
+        adv_T, adv_S, w_impl = tracer_advection_tendency(model, state_prev,
+                                                         averaged, dt=dt_stage)
         G = dict(G, T=G["T"] + adv_T, S=G["S"] + adv_S)
 
     # explicit 3-D update (closure prognostics restart from state0 too)
@@ -459,7 +508,7 @@ def rk3_substage(model, state0, state_prev, fluxes, dt_stage, substeps):
     new["eta"] = averaged.eta
 
     # implicit vertical mixing + closure prognostics
-    new = implicit_vertical_step(model, new, aux, dt_stage)
+    new = implicit_vertical_step(model, new, aux, dt_stage, w_impl=w_impl)
     return new
 
 
@@ -473,7 +522,8 @@ def ab2_step(model, state, fluxes, dt):
     chi = model.ab2_chi
     roms = model.roms_ordering()
     G, aux, state_f = tendencies(model, state, fluxes,
-                                 tracer_advection=not roms)
+                                 tracer_advection=not roms, dt=dt)
+    w_impl = G.pop("_w_impl", None)
     Gp = state.get("G_prev")
     first = state.get("ab2_first", jnp.ones(()))
     # forward Euler on the very first step (no history yet)
@@ -502,7 +552,8 @@ def ab2_step(model, state, fluxes, dt):
         # barotropic solve with mass-consistent velocities; the advective
         # tendency joins G before it is stored as G_prev, so the AB2 blend
         # of the NEXT step sees the full tendency history.
-        adv_T, adv_S = tracer_advection_tendency(model, state_f, averaged)
+        adv_T, adv_S, w_impl = tracer_advection_tendency(model, state_f,
+                                                         averaged, dt=dt)
         G = dict(G, T=G["T"] + adv_T, S=G["S"] + adv_S)
         Gb["T"] = blend("T")
         Gb["S"] = blend("S")
@@ -523,7 +574,7 @@ def ab2_step(model, state, fluxes, dt):
     new["u"], new["v"] = fs.barotropic_correct(
         new["u"], new["v"], averaged.U, averaged.V, grid)
     new["eta"] = averaged.eta
-    new = implicit_vertical_step(model, new, aux, dt)
+    new = implicit_vertical_step(model, new, aux, dt, w_impl=w_impl)
     new["G_prev"] = G
     new["ab2_first"] = jnp.zeros(())
     return new
