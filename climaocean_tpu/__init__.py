@@ -25,6 +25,10 @@ from .closures.scalar_diffusivity import (
     ConvectiveAdjustmentVerticalDiffusivity, HorizontalScalarBiharmonicDiffusivity,
     HorizontalScalarDiffusivity, VerticalScalarDiffusivity, henyey_diffusivity)
 
+from .core.operations import (Average, FieldOperation, Integral,
+                              KernelFunctionOperation, at_surface,
+                              kinetic_energy, prognostic)
+
 from .models.hydrostatic import HydrostaticModel, SurfaceFluxes, make_step_fn
 from .models.coupled import OceanSeaIceModel, coupled_step, make_coupled_step_fn
 from .models.sea_ice import SeaIceModel

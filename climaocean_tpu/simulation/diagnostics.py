@@ -77,19 +77,19 @@ def field_diagnostics(grid, state):
 
 def scalar_diagnostics(grid, state):
     """Domain scalars incl. the `zosga` Boussinesq mass check
-    (`omip_diagnostics.jl:195-207`)."""
-    ocean = state.get("ocean", state)
-    wet2 = grid.wet_c[-1]
-    area = jnp.sum(grid.az_cc * wet2)
-    dzv = grid.az_cc * grid.dz_c[:, None, None] * grid.wet_c
-    vol = jnp.sum(dzv)
-    return {
-        "zosga": jnp.sum(ocean["eta"] * grid.az_cc * wet2) / area,
-        "tosga": jnp.sum(ocean["T"][-1] * grid.az_cc * wet2) / area,
-        "thetaoga": jnp.sum(ocean["T"] * dzv) / vol,
-        "soga": jnp.sum(ocean["S"] * dzv) / vol,
-        "ke": jnp.sum(0.5 * (ocean["u"] ** 2 + ocean["v"] ** 2) * dzv) / vol,
+    (`omip_diagnostics.jl:195-207`), composed from the field-operation
+    vocabulary (reference `Average(op; dims)`, `core/operations.py`)."""
+    from ..core import operations as ops
+
+    T, S = ops.prognostic("T"), ops.prognostic("S")
+    scalars = {
+        "zosga": ops.Average(ops.prognostic("eta", "cc")),
+        "tosga": ops.Average(ops.at_surface(T)),
+        "thetaoga": ops.Average(T),
+        "soga": ops.Average(S),
+        "ke": ops.Average(ops.kinetic_energy()),
     }
+    return {k: op(grid, state) for k, op in scalars.items()}
 
 
 def mixed_layer_depth(grid, ocean, db_threshold=0.0003 * 9.81):
