@@ -71,6 +71,7 @@ from .closures.nemo_tke import NEMOTKEVerticalDiffusivity
 from .coupler.prefetch import PrefetchingAtmosphere
 from .coupler.jra55 import JRA55FileAtmosphere
 from .simulation.analysis import CaseCache, atlantic_ocean_basin
+from .simulation.field_time_series import FieldTimeSeries, InMemory, OnDisk
 from .simulation.strait_transports import (StraitSection, strait_sections,
                                            strait_transports)
 from .simulation.simulation import nan_checker

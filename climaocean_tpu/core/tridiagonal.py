@@ -4,11 +4,16 @@ TPU-native replacement for Oceananigans' implicit-vertical-diffusion solver
 and the in-kernel Thomas solve of the vendored NEMO-TKE closure (reference:
 `nemo_tke_compute_closure_fields.jl:101-168`, SURVEY.md §2c).
 
-The solve runs as a `lax.scan` over the (small) z axis with full
-``(Ny, Nx)`` planes processed per step — each scan step is a handful of
-VPU elementwise ops over the plane, so the whole solve is bandwidth-bound
-and embarrassingly parallel across columns, matching the reference's
-per-column parallelism (SURVEY.md §2d item 5).
+The sweeps are UNROLLED over the (small, static) z axis with full
+``(Ny, Nx)`` planes processed per level. A `lax.scan` formulation was
+measured 2-4 us/level/plane slower on the v5e target: scan stacks its
+per-level outputs through `dynamic-update-slice` kernels and pays a fixed
+per-iteration launch cost, while the unrolled straight-line form fuses
+level-to-level elementwise chains and emits ONE stack at the end. Columns
+stay embarrassingly parallel on the VPU, matching the reference's
+per-column parallelism (SURVEY.md §2d item 5). Set
+CLIMAOCEAN_SCAN_TRIDIAGONAL=1 to fall back to the scan form (smaller HLO,
+e.g. if a remote-compile size cap bites at Nz=100).
 
 System convention (z-leading layout, k = 0 bottom):
 
@@ -20,6 +25,8 @@ passed as (a=0, b=1, c=0, d=value).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -30,10 +37,37 @@ def solve_tridiagonal(a, b, c, d):
     All arguments are broadcast-compatible arrays of shape (Nz, ...).
     Returns x with the same shape as d.
     """
+    if os.environ.get("CLIMAOCEAN_SCAN_TRIDIAGONAL"):
+        return _solve_tridiagonal_scan(a, b, c, d)
     a, b, c, d = jnp.broadcast_arrays(a, b, c, d)
+    nz = a.shape[0]
     eps = jnp.asarray(1e-30, dtype=b.dtype)
 
     # Forward sweep: c'[k] = c/(b - a c'[k-1]),  d'[k] = (d - a d'[k-1]) / (...)
+    cp, dp = [], []
+    cp_k = jnp.zeros_like(b[0])
+    dp_k = jnp.zeros_like(b[0])
+    for k in range(nz):
+        denom = b[k] - a[k] * cp_k
+        denom = jnp.where(jnp.abs(denom) < eps, eps, denom)
+        cp_k = c[k] / denom
+        dp_k = (d[k] - a[k] * dp_k) / denom
+        cp.append(cp_k)
+        dp.append(dp_k)
+
+    # Back substitution: x[k] = d'[k] - c'[k] x[k+1]
+    x = dp[nz - 1]
+    xs = [x]
+    for k in range(nz - 2, -1, -1):
+        x = dp[k] - cp[k] * x
+        xs.append(x)
+    return jnp.stack(xs[::-1])
+
+
+def _solve_tridiagonal_scan(a, b, c, d):
+    a, b, c, d = jnp.broadcast_arrays(a, b, c, d)
+    eps = jnp.asarray(1e-30, dtype=b.dtype)
+
     def fwd(carry, abcd):
         cp_km1, dp_km1 = carry
         ak, bk, ck, dk = abcd
@@ -46,7 +80,6 @@ def solve_tridiagonal(a, b, c, d):
     zeros = jnp.zeros_like(b[0])
     (_, _), (cp, dp) = jax.lax.scan(fwd, (zeros, zeros), (a, b, c, d))
 
-    # Back substitution: x[k] = d'[k] - c'[k] x[k+1]
     def bwd(x_kp1, cpdp):
         cpk, dpk = cpdp
         x = dpk - cpk * x_kp1

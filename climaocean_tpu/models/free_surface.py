@@ -104,35 +104,59 @@ def _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
     fill_U = fill_U or fill_halos_2d
     fill_V = fill_V or fill_halos_2d
 
+    # Deferred halo fills (wide-halo exchange-every-N; SURVEY.md §7 hard
+    # part (a)): one substep consumes 2 halo rings — the η update reads U
+    # one ring out, the transport update reads the new η one ring further —
+    # so with halo width H the fills are exact every k = (H−1)//2 substeps.
+    # The halo-strip `.at[].set` copies are the substep loop's dominant
+    # kernel count on TPU (~12 small dynamic-update-slices per substep), so
+    # halving/quartering them is a direct step-time win; the masks (wrap-
+    # consistent in periodic x, dry in bounded halos) still apply every
+    # substep, keeping wall transports exactly zero.
+    k_defer = max(1, (grid.H - 1) // 2)
+    while M % k_defer:
+        k_defer -= 1
+    n_blocks = M // k_defer
+
     # mass-consistency weights: the U entering substep j (j = 0..M−1) drives
     # η updates for all remaining M−j substeps, so its weight in the
     # effective transport is (M−j)/M per dtau → 2(M−j)/M² per dt_stage.
-    w_eff = 2.0 * (M - jnp.arange(M, dtype=bt.eta.dtype)) / (M * M)
+    w_eff = (2.0 * (M - jnp.arange(M, dtype=bt.eta.dtype)) / (M * M)
+             ).reshape(n_blocks, k_defer)
 
-    def body(carry, we):
+    def body(carry, we_block):
         eta, U, V, eta_a, U_a, V_a, U_e, V_e = carry
-        U_e = U_e + we * U          # entering U: the one the η update uses
-        V_e = V_e + we * V
-        eta = eta - dtau * barotropic_divergence(U, V, grid)
+        for j in range(k_defer):
+            we = we_block[j]
+            U_e = U_e + we * U      # entering U: the one the η update uses
+            V_e = V_e + we * V
+            eta = (eta - dtau * barotropic_divergence(U, V, grid)) * wet2_c
+            U = (U + dtau * (-g * H_u * dxf(eta) / grid.dx_fc + GU)) * wet2_u
+            V = (V + dtau * (-g * H_v * dyf(eta) / grid.dy_cf + GV)) * wet2_v
+            eta_a, U_a, V_a = eta_a + w * eta, U_a + w * U, V_a + w * V
         # halo-fill BEFORE masking: masks are defined on the padded arrays
         # (dry in bounded-direction halos), so masking last keeps wall
         # transports exactly zero — replicated halo values must never
         # survive on dry faces or they inject spurious divergence.
         eta = fill_halos_2d(eta) * wet2_c
-        U = U + dtau * (-g * H_u * dxf(eta) / grid.dx_fc + GU)
-        V = V + dtau * (-g * H_v * dyf(eta) / grid.dy_cf + GV)
         U = fill_U(U) * wet2_u
         V = fill_V(V) * wet2_v
-        return (eta, U, V, eta_a + w * eta, U_a + w * U, V_a + w * V,
-                U_e, V_e), None
+        return (eta, U, V, eta_a, U_a, V_a, U_e, V_e), None
 
     z = jnp.zeros_like(bt.eta)
     zU, zV = jnp.zeros_like(bt.U), jnp.zeros_like(bt.V)
-    init = (bt.eta, bt.U, bt.V, z, zU, zV, zU, zV)
+    init = (fill_halos_2d(bt.eta) * wet2_c, fill_U(bt.U) * wet2_u,
+            fill_V(bt.V) * wet2_v, z, zU, zV, zU, zV)
     (eta, U, V, eta_a, U_a, V_a, U_e, V_e), _ = jax.lax.scan(
-        body, init, w_eff, length=M)
+        body, init, w_eff, length=n_blocks)
 
-    averaged = AveragedBarotropic(eta_a, U_a, V_a, U_e, V_e)
+    # the accumulators sampled unfilled halo values between fills — refill
+    # once so downstream consumers see consistent halos
+    averaged = AveragedBarotropic(fill_halos_2d(eta_a) * wet2_c,
+                                  fill_U(U_a) * wet2_u,
+                                  fill_V(V_a) * wet2_v,
+                                  fill_U(U_e) * wet2_u,
+                                  fill_V(V_e) * wet2_v)
     final = BarotropicState(eta, U, V)
     return averaged, final
 

@@ -200,16 +200,26 @@ def _load_amoc(c):
 @CaseCache.loader("straits")
 def _load_straits(c):
     """Strait-transport time series [Sv] from saved 3-D u/v output
-    (reference offline `strait_transports`, `strait_transports.jl:87-108`)."""
+    (reference offline `strait_transports`, `strait_transports.jl:87-108`).
+
+    Streams the 3-D u/v snapshots through the lazy `FieldTimeSeries`
+    reader (reference `FieldTimeSeries(...; backend)` usage at
+    `strait_transports.jl:62-64`) so multi-year series never hold the
+    whole 4-D stack in memory."""
+    from .field_time_series import FieldTimeSeries, InMemory
     from .strait_transports import strait_sections, section_volume_flux
 
-    f = c.get("fields")
+    u = FieldTimeSeries(c.dir, c.prefix + "_fields", "u", InMemory(4))
+    v = FieldTimeSeries(c.dir, c.prefix + "_fields", "v", InMemory(4))
     secs = strait_sections(c.grid)
-    out = {"time": f["time"]}
-    for name, sec in secs.items():
-        out[name] = np.array([
-            section_volume_flux(sec, c.grid, u=f["u"][t], v=f["v"][t])
-            for t in range(f["u"].shape[0])])
+    out = {"time": u.times}
+    series = {name: [] for name in secs}
+    for t in range(len(u)):
+        ut, vt = u[t], v[t]
+        for name, sec in secs.items():
+            series[name].append(section_volume_flux(sec, c.grid, u=ut, v=vt))
+    for name in secs:
+        out[name] = np.array(series[name])
     return out
 
 
