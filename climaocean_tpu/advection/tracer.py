@@ -23,10 +23,16 @@ mask; cells outside the column are dry).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from ..core.stencil import X, Y, Z, dxc, dyc
 from .weno import weno_upwind, centered_face
+
+# Flag-gated fused Pallas path (parity-tested in tests/test_pallas_kernel.py;
+# measured ~parity with the XLA roll chain on v5e at 1/4°, kept opt-in)
+_PALLAS_WENO = bool(os.environ.get("CLIMAOCEAN_PALLAS_WENO"))
 
 
 def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
@@ -36,7 +42,16 @@ def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
     u, v: (Nz, Nyp, Nxp); w: (Nz+1, Nyp, Nxp). Returns (Nz, Nyp, Nxp).
     ``dzc3``/``dzw3`` optionally override cell thicknesses (z★ moving grid);
     default is the static 1-D spacing broadcast.
+
+    With ``CLIMAOCEAN_PALLAS_WENO=1`` the batched order-5 fixed-coordinate
+    case routes through the fused Pallas kernel
+    (`advection/pallas_weno.py`): one HBM read + write per field instead of
+    the roll-chain's many passes.
     """
+    if (_PALLAS_WENO and order == 5 and dzc3 is None and dzw3 is None
+            and weights == "zweno" and c.ndim == 4):
+        from .pallas_weno import weno5_tracer_divergence
+        return weno5_tracer_divergence(c, u, v, w, grid)
     wet_c = grid.wet_c
     dz = grid.dz_c[:, None, None] if dzc3 is None else dzc3
 
