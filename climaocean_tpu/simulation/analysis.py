@@ -183,8 +183,12 @@ def _load_amoc(c):
         zonal = (vvol * basin).sum(axis=-1)
         H = c.grid.H
         lat2 = np.asarray(c.grid.lat_cc)[H:H + c.grid.Ny, H:H + c.grid.Nx]
-        nb = np.maximum(basin[0, 0].sum(axis=-1), 1.0)
-        row_lat = (lat2 * basin[0, 0]).sum(axis=-1) / nb
+        nb = basin[0, 0].sum(axis=-1)
+        # rows with no Atlantic water fall back to the plain row mean so
+        # the latitude axis stays monotone for plotting
+        row_lat = np.where(nb > 0,
+                           (lat2 * basin[0, 0]).sum(axis=-1) / np.maximum(nb, 1.0),
+                           lat2.mean(axis=-1))
         out["lat"] = row_lat
     else:
         zonal = vvol.sum(axis=-1)
@@ -278,3 +282,323 @@ def _load_mld(c):
     s = c.get("surface")
     return {"time": s["time"], "mld_max": s["mlotst"].max(axis=(1, 2)),
             "mld_mean": s["mlotst"].mean(axis=(1, 2))}
+
+
+# --------------------------------------------------------------------------
+# surface maps: SSH, wind stress, net fluxes, currents
+# (reference fig03/fig07/fig08/fig09/fig24)
+# --------------------------------------------------------------------------
+
+RHO_OCEAN = 1020.0
+CP_OCEAN = 3991.0
+SECONDS_PER_YEAR = 365.0 * 86400.0
+
+
+def _interior_wet(grid):
+    H = grid.H
+    return np.asarray(grid.wet_c[-1])[H:H + grid.Ny, H:H + grid.Nx] > 0
+
+
+@CaseCache.loader("ssh")
+def _load_ssh(c):
+    """Time-mean SSH and SSH RMS variability (reference fig03_ssh +
+    fig09_ssh_variance: "Time-mean SSH", "SSH RMS", "SSH - ECCO ...,
+    demeaned"). Variance comes from the averaged zossq second moment:
+    var = <zos²> − <zos>²."""
+    s = c.get("surface")
+    mean = s["zos"].mean(axis=0)
+    var = np.maximum(s["zossq"].mean(axis=0) - mean ** 2, 0.0)
+    out = {"mean": mean, "rms": np.sqrt(var)}
+    obs = load_observation(c, "ecco_ssh")
+    if obs is not None and obs["ssh"].shape == mean.shape:
+        wet = _interior_wet(c.grid) if c.grid is not None else \
+            np.isfinite(obs["ssh"])
+        d = (mean - mean[wet].mean()) - (obs["ssh"] - obs["ssh"][wet].mean())
+        out["vs_ecco"] = np.where(wet, d, np.nan)
+    return out
+
+
+@CaseCache.loader("wind_stress")
+def _load_wind_stress(c):
+    """Time-mean surface stress maps + zonal means (reference
+    fig08_wind_stress: "Zonal/Meridional wind stress", "τx − NCEP").
+    Writer units are kinematic (m²/s²); scaled by ρ₀ to N/m²."""
+    s = c.get("surface")
+    taux = RHO_OCEAN * s["tauuo"].mean(axis=0)
+    tauy = RHO_OCEAN * s["tauvo"].mean(axis=0)
+    wet = _interior_wet(c.grid) if c.grid is not None else \
+        np.ones(taux.shape, bool)
+    nwet = np.maximum(wet.sum(axis=-1), 1)
+    out = {"taux": taux, "tauy": tauy,
+           "taux_zonal": (taux * wet).sum(axis=-1) / nwet,
+           "tauy_zonal": (tauy * wet).sum(axis=-1) / nwet}
+    if c.grid is not None:
+        H = c.grid.H
+        lat = np.asarray(c.grid.lat_cc)[H:H + c.grid.Ny, H:H + c.grid.Nx]
+        out["lat"] = (lat * wet).sum(axis=-1) / nwet
+    obs = load_observation(c, "ncep_stress")
+    if obs is not None and obs["taux"].shape == taux.shape:
+        out["taux_vs_ncep"] = np.where(wet, taux - obs["taux"], np.nan)
+        out["tauy_vs_ncep"] = np.where(wet, tauy - obs["tauy"], np.nan)
+    return out
+
+
+@CaseCache.loader("fluxes")
+def _load_fluxes(c):
+    """Time-mean net surface heat [W/m²] and freshwater [m/yr] flux maps
+    (reference fig07_surface_fluxes: "Net heat flux", "Net freshwater
+    flux"). hfds is stored as a kinematic temperature flux (K·m/s) and wfo
+    as a salinity flux SSS·fw (g/kg·m/s); converted here."""
+    s = c.get("surface")
+    heat = RHO_OCEAN * CP_OCEAN * s["hfds"].mean(axis=0)
+    sos = np.maximum(s["sos"].mean(axis=0), 1.0)
+    fresh = s["wfo"].mean(axis=0) / sos * SECONDS_PER_YEAR   # m/yr
+    wet = _interior_wet(c.grid) if c.grid is not None else \
+        np.isfinite(heat)
+    return {"heat": np.where(wet, heat, np.nan),
+            "fresh": np.where(wet, fresh, np.nan)}
+
+
+@CaseCache.loader("currents")
+def _load_currents(c):
+    """Time-mean near-surface current speed (reference
+    fig24_near_surface_currents: "Near-surface current speed")."""
+    s = c.get("surface")
+    speed = np.sqrt(s["uos"] ** 2 + s["vos"] ** 2).mean(axis=0)
+    wet = _interior_wet(c.grid) if c.grid is not None else \
+        np.isfinite(speed)
+    return {"speed": np.where(wet, speed, np.nan),
+            "u": s["uos"].mean(axis=0), "v": s["vos"].mean(axis=0)}
+
+
+# --------------------------------------------------------------------------
+# interior structure: profiles, drift, zonal means, EUC
+# (reference fig16/fig17/fig18/fig19/fig21/fig25)
+# --------------------------------------------------------------------------
+
+@CaseCache.loader("profiles")
+def _load_profiles(c):
+    """Volume-weighted horizontal-mean T(z,t), S(z,t) — the basis of the
+    reference's drift series ("Global-mean temperature drift"), mean
+    profiles ("Horizontal-mean temperature") and T/S drift heatmaps
+    (fig16/fig17/fig21). Streams 3-D parts through the lazy reader."""
+    from .field_time_series import FieldTimeSeries, InMemory
+
+    grid = c.grid
+    H = grid.H
+    az = np.asarray(grid.az_cc)[H:H + grid.Ny, H:H + grid.Nx]
+    wet = np.asarray(grid.wet_c)[:, H:H + grid.Ny, H:H + grid.Nx]
+    w2 = az[None] * wet                                   # (Nz, Ny, Nx)
+    denom = np.maximum(w2.sum(axis=(1, 2)), 1e-30)        # (Nz,)
+
+    out = {"z": np.asarray(grid.z_c)}
+    for var in ("T", "S"):
+        fts = FieldTimeSeries(c.dir, c.prefix + "_fields", var, InMemory(2))
+        prof = np.stack([(fts[t] * w2).sum(axis=(1, 2)) / denom
+                         for t in range(len(fts))])
+        out[var] = prof
+        out["time"] = fts.times
+    return out
+
+
+@CaseCache.loader("zonal_mean")
+def _load_zonal_mean(c):
+    """Time-mean zonal-mean T(z,y), S(z,y) (+ differences vs the WOA
+    climatology when ingestable) and zonal-mean MLD — reference
+    fig18_zonal_mean ("Zonal T/S − WOA"), fig20_mld_zonal_mean."""
+    from .field_time_series import FieldTimeSeries, InMemory
+
+    grid = c.grid
+    H = grid.H
+    wet = np.asarray(grid.wet_c)[:, H:H + grid.Ny, H:H + grid.Nx]
+    nwet = np.maximum(wet.sum(axis=-1), 1.0)              # (Nz, Ny)
+    lat = np.asarray(grid.lat_cc)[H:H + grid.Ny, H:H + grid.Nx]
+    wet2 = wet[-1] > 0
+    nwet2 = wet2.sum(axis=-1)
+    # dry rows fall back to the plain row mean so the axis stays monotone
+    row_lat = np.where(nwet2 > 0,
+                       (lat * wet2).sum(axis=-1) / np.maximum(nwet2, 1),
+                       lat.mean(axis=-1))
+    out = {"z": np.asarray(grid.z_c), "lat": row_lat}
+    for var in ("T", "S"):
+        fts = FieldTimeSeries(c.dir, c.prefix + "_fields", var, InMemory(2))
+        acc = None
+        for t in range(len(fts)):
+            zm = (fts[t] * wet).sum(axis=-1) / nwet
+            acc = zm if acc is None else acc + zm
+        out[var] = acc / max(len(fts), 1)
+    s = c.get("surface")
+    if "mlotst" in s:
+        mld = s["mlotst"].mean(axis=0)
+        out["mld_zonal"] = (mld * wet2).sum(axis=-1) / \
+            np.maximum(wet2.sum(axis=-1), 1)
+    try:
+        from ..data.metadata import Metadatum, WOAAnnual, regrid_to_grid
+        clim_dir = getattr(c, "clim_dir", None) or os.path.join(c.dir, "clim")
+        for var, name in (("T", "temperature"), ("S", "salinity")):
+            clim = regrid_to_grid(Metadatum(name, dataset=WOAAnnual(),
+                                            dir=clim_dir), grid)
+            zm = (clim * wet).sum(axis=-1) / nwet
+            out[f"{var}_vs_woa"] = out[var] - zm
+    except Exception:
+        pass                                  # no climatology staged: skip
+    return out
+
+
+@CaseCache.loader("euc")
+def _load_euc(c):
+    """Time-mean zonal current on the equatorial section u(z, lon) —
+    reference fig25_equatorial_undercurrent ("Zonal current (uE)")."""
+    from .field_time_series import FieldTimeSeries, InMemory
+
+    grid = c.grid
+    H = grid.H
+    lat = np.asarray(grid.lat_cc)[H:H + grid.Ny, H:H + grid.Nx]
+    j_eq = int(np.argmin(np.abs(np.nanmean(lat, axis=-1))))
+    fts = FieldTimeSeries(c.dir, c.prefix + "_fields", "u", InMemory(2))
+    acc = None
+    for t in range(len(fts)):
+        sec = fts[t][:, j_eq, :]
+        acc = sec if acc is None else acc + sec
+    lon = np.asarray(grid.lon_cc)[H:H + grid.Ny, H:H + grid.Nx][j_eq]
+    wet = np.asarray(grid.wet_u)[:, H:H + grid.Ny, H:H + grid.Nx][:, j_eq]
+    return {"u": np.where(wet > 0, acc / max(len(fts), 1), np.nan),
+            "lon": lon, "z": np.asarray(grid.z_c),
+            "lat_section": float(np.nanmean(lat[j_eq]))}
+
+
+# --------------------------------------------------------------------------
+# seasonal products: monthly climatologies, seasonal maps
+# (reference fig04/fig05/fig06/fig10-14)
+# --------------------------------------------------------------------------
+
+def month_of(times, epoch_seconds=0.0):
+    """Month index 0..11 on the 365-day simulation calendar (runs start
+    Jan 1 of a repeat year unless the case sets ``epoch_seconds``)."""
+    t = (np.asarray(times) + epoch_seconds) % SECONDS_PER_YEAR
+    return np.minimum((t / SECONDS_PER_YEAR * 12).astype(int), 11)
+
+
+@CaseCache.loader("ice_clim")
+def _load_ice_clim(c):
+    """Monthly climatology of sea-ice extent/area/volume per hemisphere
+    (reference fig10_sie/fig11_sia/fig12_arctic_volume: "Arctic SIE
+    Climatology" etc.), with NSIDC/PIOMAS overlays when observation files
+    are staged."""
+    ice = c.get("ice")
+    if "area_nh" not in ice:
+        return {"months": np.arange(12)}
+    mon = month_of(ice["time"], getattr(c, "epoch_seconds", 0.0))
+    out = {"months": np.arange(12)}
+    for key in ("extent_nh", "extent_sh", "area_nh", "area_sh",
+                "volume_nh", "volume_sh"):
+        clim = np.full(12, np.nan)
+        for m in range(12):
+            sel = mon == m
+            if sel.any():
+                clim[m] = ice[key][sel].mean()
+        out[key] = clim
+    for name in ("nsidc_extent", "piomas_volume"):
+        obs = load_observation(c, name)
+        if obs is not None:
+            for k, v in obs.items():
+                out[f"{name}_{k}"] = v
+    return out
+
+
+@CaseCache.loader("siconc_maps")
+def _load_siconc_maps(c):
+    """March/September mean sea-ice concentration maps (reference
+    fig05_seaice_conc seasonal panels; fig06 bias when obs are staged)."""
+    s = c.get("surface")
+    if "siconc" not in s:
+        return {"available": np.array(0)}
+    mon = month_of(s["time"], getattr(c, "epoch_seconds", 0.0))
+    out = {"available": np.array(1)}
+    for name, m in (("march", 2), ("september", 8)):
+        sel = mon == m
+        out[name] = s["siconc"][sel].mean(axis=0) if sel.any() else \
+            s["siconc"].mean(axis=0)
+        obs = load_observation(c, f"siconc_{name}")
+        if obs is not None and obs["siconc"].shape == out[name].shape:
+            out[f"{name}_bias"] = out[name] - obs["siconc"]
+    return out
+
+
+@CaseCache.loader("mld_seasonal")
+def _load_mld_seasonal(c):
+    """Winter-max and summer-min MLD maps (reference fig04_mld: "Max MLD
+    (winter)", "Min MLD (summer)") from monthly-binned snapshots."""
+    s = c.get("surface")
+    mon = month_of(s["time"], getattr(c, "epoch_seconds", 0.0))
+    mld = s["mlotst"]
+    monthly = []
+    for m in range(12):
+        sel = mon == m
+        monthly.append(mld[sel].mean(axis=0) if sel.any() else
+                       np.full(mld.shape[1:], np.nan))
+    monthly = np.stack(monthly)
+    with np.errstate(all="ignore"):
+        out = {"winter_max": np.nanmax(monthly, axis=0),
+               "summer_min": np.nanmin(monthly, axis=0)}
+    obs = load_observation(c, "dbm_mld")
+    if obs is not None and obs["mld"].shape == out["winter_max"].shape:
+        out["winter_vs_obs"] = out["winter_max"] - obs["mld"]
+    return out
+
+
+@CaseCache.loader("amoc_rapid")
+def _load_amoc_rapid(c):
+    """AMOC vertical profile ψ(z) at 26.5°N + the index series, with the
+    RAPID array overlay when staged (reference fig26_amoc_rapid: "AMOC
+    index at 26.5°N", "AMOC ψ(z) at 26.5°N" vs RAPID)."""
+    amoc = c.get("amoc")
+    out = {"time": amoc["time"]}
+    if "amoc_26n" in amoc:
+        out["index"] = amoc["amoc_26n"]
+        lat = amoc["lat"]
+        j265 = int(np.nanargmin(np.abs(lat - 26.5)))
+        out["psi_z"] = amoc["psi"][:, j265]
+        if c.grid is not None:
+            out["z"] = np.asarray(c.grid.z_c)
+    obs = load_observation(c, "rapid_moc")
+    if obs is not None:
+        out["rapid_time"] = obs["time"]
+        out["rapid_moc"] = obs["moc"]
+    return out
+
+
+# --------------------------------------------------------------------------
+# observational baselines (reference `common.jl:463-1059` downloads WOA,
+# ECCO SSH, dBM MLD, NCEP stress, NSIDC, PIOMAS, HadISST, RAPID and caches
+# them; zero-egress here, so baselines are read from staged ``.npz`` files
+# — `<obs_dir>/<name>.npz` with documented keys — and every product
+# degrades gracefully to model-only when a file is absent)
+# --------------------------------------------------------------------------
+
+OBSERVATION_KEYS = {
+    "ecco_ssh": ("ssh",),            # (Ny, Nx) time-mean SSH [m]
+    "ncep_stress": ("taux", "tauy"),  # (Ny, Nx) [N/m²]
+    "nsidc_extent": ("extent_nh", "extent_sh"),   # (12,) [10⁶ km²]
+    "piomas_volume": ("volume_nh",),  # (12,) [10³ km³]
+    "rapid_moc": ("time", "moc"),    # series [s], [Sv]
+    "dbm_mld": ("mld",),             # (Ny, Nx) winter-max MLD [m]
+    "siconc_march": ("siconc",),     # (Ny, Nx) concentration
+    "siconc_september": ("siconc",),
+    "hadisst_sst": ("sst",),         # (Ny, Nx) [°C]
+}
+
+
+def load_observation(case, name):
+    """Load one observational baseline for a case, or None. Search order:
+    ``case.obs_dir``, ``$CLIMAOCEAN_OBS_DIR``, ``<outdir>/obs``."""
+    dirs = [getattr(case, "obs_dir", None), os.environ.get("CLIMAOCEAN_OBS_DIR"),
+            os.path.join(case.dir, "obs")]
+    for d in dirs:
+        if not d:
+            continue
+        path = os.path.join(d, f"{name}.npz")
+        if os.path.exists(path):
+            with np.load(path) as f:
+                return {k: np.asarray(f[k]) for k in f.files}
+    return None
