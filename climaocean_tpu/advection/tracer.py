@@ -30,9 +30,23 @@ import jax.numpy as jnp
 from ..core.stencil import X, Y, Z, dxc, dyc
 from .weno import weno_upwind, centered_face
 
-# Flag-gated fused Pallas path (parity-tested in tests/test_pallas_kernel.py;
-# measured ~parity with the XLA roll chain on v5e at 1/4°, kept opt-in)
-_PALLAS_WENO = bool(os.environ.get("CLIMAOCEAN_PALLAS_WENO"))
+# Fused Pallas path (parity-tested in tests/test_pallas_kernel.py).
+# Default: on for TPU backends, off elsewhere (interpret mode is slow on
+# CPU). CLIMAOCEAN_PALLAS_WENO=1/0 forces it either way. Resolved lazily so
+# importing this module never initializes a jax backend.
+_PALLAS_WENO = None
+
+
+def _use_pallas():
+    global _PALLAS_WENO
+    if _PALLAS_WENO is None:
+        env = os.environ.get("CLIMAOCEAN_PALLAS_WENO")
+        if env is not None:
+            _PALLAS_WENO = env not in ("", "0")
+        else:
+            import jax
+            _PALLAS_WENO = jax.default_backend() not in ("cpu",)
+    return _PALLAS_WENO
 
 
 def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
@@ -43,23 +57,29 @@ def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
     ``dzc3``/``dzw3`` optionally override cell thicknesses (z★ moving grid);
     default is the static 1-D spacing broadcast.
 
-    With ``CLIMAOCEAN_PALLAS_WENO=1`` the batched order-5 fixed-coordinate
-    case routes through the fused Pallas kernel
-    (`advection/pallas_weno.py`): one HBM read + write per field instead of
-    the roll-chain's many passes.
+    On TPU backends (or with ``CLIMAOCEAN_PALLAS_WENO=1``; ``=0``
+    disables) the batched order-5/7 horizontal
+    reconstruction routes through the fused Pallas kernel
+    (`advection/pallas_weno.py`) — VMEM-resident stencil windows instead
+    of the roll-chain's many HBM passes. The vertical flux stays on the
+    XLA path either way, so the fused result is bit-compatible.
     """
-    if (_PALLAS_WENO and order == 5 and dzc3 is None and dzw3 is None
-            and weights == "zweno" and c.ndim == 4):
-        from .pallas_weno import weno5_tracer_divergence
-        return weno5_tracer_divergence(c, u, v, w, grid)
     wet_c = grid.wet_c
     dz = grid.dz_c[:, None, None] if dzc3 is None else dzc3
 
     # --- horizontal fluxes ---------------------------------------------------
-    cx = weno_upwind(c, u, X, order, wet_c, weights=weights)
-    cy = weno_upwind(c, v, Y, order, wet_c, weights=weights)
-    qx = grid.dy_fc * dz * u * grid.wet_u * cx
-    qy = grid.dx_cf * dz * v * grid.wet_v * cy
+    if (_use_pallas() and order in (5, 7) and c.ndim == 4
+            and c.shape[-1] >= order + 5):
+        from .pallas_weno import weno_horizontal_divergence
+        U = grid.dy_fc * dz * u * grid.wet_u
+        V = grid.dx_cf * dz * v * grid.wet_v
+        hdiv = weno_horizontal_divergence(c, U, V, wet_c, order, weights)
+    else:
+        cx = weno_upwind(c, u, X, order, wet_c, weights=weights)
+        cy = weno_upwind(c, v, Y, order, wet_c, weights=weights)
+        qx = grid.dy_fc * dz * u * grid.wet_u * cx
+        qy = grid.dx_cf * dz * v * grid.wet_v * cy
+        hdiv = dxc(qx) + dyc(qy)
 
     # --- vertical flux -------------------------------------------------------
     # w faces: (Nz+1). Reconstruct c at interior faces 1..Nz-1; the top face
@@ -74,7 +94,6 @@ def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
     cz = jnp.concatenate([cz_body, c[..., -1:, :, :]], axis=Z)   # (Nz+1, ...)
     qz = grid.az_cc * w * grid.wet_w * cz
 
-    div = (dxc(qx) + dyc(qy)
-           + (qz[..., 1:, :, :] - qz[..., :-1, :, :]))
+    div = hdiv + (qz[..., 1:, :, :] - qz[..., :-1, :, :])
     vol = grid.az_cc * dz
     return -(div / vol) * wet_c

@@ -112,8 +112,13 @@ def _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
     # kernel count on TPU (~12 small dynamic-update-slices per substep), so
     # halving/quartering them is a direct step-time win; the masks (wrap-
     # consistent in periodic x, dry in bounded halos) still apply every
-    # substep, keeping wall transports exactly zero.
-    k_defer = max(1, (grid.H - 1) // 2)
+    # substep, keeping wall transports exactly zero. Between fills the η/U/V
+    # *halos* hold stale values — interior physics are exact (conservation
+    # is interior-measured), and every downstream consumer refills first.
+    # CLIMAOCEAN_BAROTROPIC_FILL_EVERY overrides the cadence for debugging.
+    import os
+    k_defer = int(os.environ.get("CLIMAOCEAN_BAROTROPIC_FILL_EVERY", 0)) \
+        or max(1, (grid.H - 1) // 2)
     while M % k_defer:
         k_defer -= 1
     n_blocks = M // k_defer
