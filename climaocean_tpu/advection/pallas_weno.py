@@ -38,46 +38,69 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .weno import _EPS, _LEFT, _PENALTY, _beta
+from .weno import _weno_core
 
 _MARGIN = 8          # aligned sublane margin (stencil needs K <= 4)
 
 
-def _biased_pair(cell, wet, order, weights):
-    """Left/right-biased WENO face values from slice accessors.
+def _upwind_value(cell, wet, up, order, weights):
+    """Upwind-selected WENO face value from slice accessors.
 
     ``cell(o)`` / ``wet(o)`` return the cell/wet value at offset ``o``
     from the face (offset 0 = the cell just above the face) — the same
     convention as `weno.weno_biased`, with slices standing in for rolls.
+    ``up`` is the per-face upwind mask (velocity >= 0). As in
+    `weno.weno_upwind`, the inputs are side-selected and ONE
+    reconstruction runs — mathematically identical to computing both
+    biased values and selecting (roundoff-level FMA-contraction
+    differences only), at ~half the VPU work (the kernel is
+    compute-bound).
     """
-    tbl = _LEFT[order]
-    K = (order + 1) // 2
-    ideal = tbl["ideal"]
-    out = []
-    for mirror in (False, True):                # left, right
-        at = (lambda o: -1 - o) if mirror else (lambda o: o)
-        recon, betas = [], []
-        for m in range(K):
-            offs, coeffs = tbl[m]
-            vals = [cell(at(o)) for o in offs]
-            recon.append(sum(c * v for c, v in zip(coeffs, vals)))
-            b = _beta(order, m, vals)
-            pen = sum(1.0 - wet(at(o)) for o in offs)
-            betas.append(b + _PENALTY * pen)
-        if weights == "normal_division":
-            alphas = [d / (b + _EPS) ** 2 for d, b in zip(ideal, betas)]
-        else:
-            tau = jnp.abs(betas[0] - betas[-1])
-            alphas = [d * (1.0 + (tau / (b + _EPS)) ** 2)
-                      for d, b in zip(ideal, betas)]
-        total = sum(alphas)
-        out.append(sum(a * r for a, r in zip(alphas, recon)) / total)
-    return out
+    val_cache, wet_cache = {}, {}
+
+    def get_val(o):
+        if o not in val_cache:
+            val_cache[o] = jnp.where(up, cell(o), cell(-1 - o))
+        return val_cache[o]
+
+    def get_wet(o):
+        if o not in wet_cache:
+            wet_cache[o] = jnp.where(up, wet(o), wet(-1 - o))
+        return wet_cache[o]
+
+    return _weno_core(get_val, get_wet, order, weights)
 
 
-def _kernel(c_hbm, wet_hbm, u_hbm, v_hbm, out_ref,
-            c_s, wet_s, u_s, v_s, sems,
-            *, order, nt, nz, by, nxp, n_tiles, weights):
+def _zshift(arr, o, axis):
+    """Clamped z-shift on a VMEM-resident array: result[k] = arr[clamp(k+o)]
+    along ``axis`` — `stencil.shift_clamp` semantics, written as
+    slice+concat so Mosaic lowers it (z is an untiled leading axis, so the
+    concat is just VMEM offset arithmetic)."""
+    if o == 0:
+        return arr
+    L = arr.shape[axis]
+
+    def sl(lo, hi):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(lo, hi)
+        return arr[tuple(idx)]
+
+    if o > 0:
+        parts = [sl(o, L)] + [sl(L - 1, L)] * o
+    else:
+        parts = [sl(0, 1)] * (-o) + [sl(0, L + o)]
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _kernel(*refs, order, vorder, nt, nz, by, nxp, n_tiles, weights):
+    fused_z = vorder is not None
+    if fused_z:
+        (c_hbm, wet_hbm, u_hbm, v_hbm, w_hbm, iv_hbm, out_ref,
+         c_s, wet_s, u_s, v_s, w_s, iv_s, sems) = refs
+    else:
+        (c_hbm, wet_hbm, u_hbm, v_hbm, out_ref,
+         c_s, wet_s, u_s, v_s, sems) = refs
+        w_s = iv_s = None
     j = pl.program_id(0)
     K = (order + 1) // 2
     wy = by + 2 * _MARGIN
@@ -87,7 +110,7 @@ def _kernel(c_hbm, wet_hbm, u_hbm, v_hbm, out_ref,
 
     def dma(jj, s):
         y0 = jj * by
-        return [
+        cps = [
             pltpu.make_async_copy(
                 c_hbm.at[:, :, pl.ds(y0, wy), :], c_s.at[s], sems.at[s, 0]),
             pltpu.make_async_copy(
@@ -99,6 +122,16 @@ def _kernel(c_hbm, wet_hbm, u_hbm, v_hbm, out_ref,
                 v_hbm.at[:, pl.ds(y0 + M, by + M), :], v_s.at[s],
                 sems.at[s, 3]),
         ]
+        if fused_z:
+            cps += [
+                pltpu.make_async_copy(
+                    w_hbm.at[:, pl.ds(y0 + M, by), :], w_s.at[s],
+                    sems.at[s, 4]),
+                pltpu.make_async_copy(
+                    iv_hbm.at[:, pl.ds(y0 + M, by), :], iv_s.at[s],
+                    sems.at[s, 5]),
+            ]
+        return cps
 
     @pl.when(j == 0)
     def _():
@@ -128,9 +161,8 @@ def _kernel(c_hbm, wet_hbm, u_hbm, v_hbm, out_ref,
         # Mosaic cannot lower [None] expansion combined with slices
         return wet[:, M:M + by, K + o:K + o + nxf]
 
-    left, right = _biased_pair(cx_cell, cx_wet, order, weights)
     Uf = U[:, :by, K:K + nxf]
-    qx = Uf * jnp.where(Uf >= 0.0, left, right)
+    qx = Uf * _upwind_value(cx_cell, cx_wet, Uf >= 0.0, order, weights)
     div = qx[..., 1:] - qx[..., :-1]                      # (nt,nz,by,nxv)
 
     # ---- y-direction: faces at window rows M .. M+by, output columns only
@@ -140,29 +172,46 @@ def _kernel(c_hbm, wet_hbm, u_hbm, v_hbm, out_ref,
     def cy_wet(o):
         return wet[:, M + o:M + o + by + 1, K:K + nxv]
 
-    left, right = _biased_pair(cy_cell, cy_wet, order, weights)
     Vf = V[:, :by + 1, K:K + nxv]
-    qy = Vf * jnp.where(Vf >= 0.0, left, right)
+    qy = Vf * _upwind_value(cy_cell, cy_wet, Vf >= 0.0, order, weights)
     div = div + (qy[:, :, 1:, :] - qy[:, :, :-1, :])
+
+    if fused_z:
+        # ---- z-direction: the whole column is VMEM-resident, so the
+        # vertical WENO flux fuses in for free (the XLA vertical pass was
+        # memory-bound on its materialized intermediates). Faces 0..nz-1
+        # reconstruct with clamp boundaries; the top face (free surface)
+        # carries the top-cell value (`tracer.tracer_flux_divergence`).
+        ccz = c[:, :, M:M + by, K:K + nxv]                # (nt,nz,by,nxv)
+        wetz = wet[:, M:M + by, K:K + nxv]                # (nz,by,nxv)
+        Wf = w_s[slot][:, :, K:K + nxv]                   # (nz+1,by,nxv)
+
+        def cz_cell(o):
+            return _zshift(ccz, o, 1)
+
+        def cz_wet(o):
+            return _zshift(wetz, o, 0)
+
+        # upwind mask from the premultiplied transport: sign differs from
+        # raw w only where wet_w == 0, where the flux is zero anyway
+        up_z = Wf[:nz] >= 0.0
+        cz_body = _upwind_value(cz_cell, cz_wet, up_z, vorder, weights)
+        qz_body = Wf[:nz] * cz_body
+        qz_top = Wf[nz:] * ccz[:, nz - 1:nz]
+        div = div + jnp.concatenate(
+            [qz_body[:, 1:] - qz_body[:, :-1],
+             qz_top - qz_body[:, nz - 1:nz]], axis=1)
+        div = -div * iv_s[slot][:, :, K:K + nxv]
 
     out_ref[:, :, :, K:K + nxv] = div
     out_ref[:, :, :, 0:K] = jnp.zeros((nt, nz, by, K), div.dtype)
     out_ref[:, :, :, nxp - K:nxp] = jnp.zeros((nt, nz, by, K), div.dtype)
 
 
-def weno_horizontal_divergence(c_batched, U, V, wet_c, order=5,
-                               weights="zweno", by=8):
-    """Fused horizontal WENO flux divergence for batched tracers.
-
-    c_batched: (Nt, Nz, Nyp, Nxp) padded tracers (halos filled, H >= K).
-    U, V: premultiplied face transports Δy_fc·Δz·u·wet_u / Δx_cf·Δz·v·wet_v
-    (so the kernel needs no metric or mask windows and z★ thicknesses ride
-    in for free). Returns δx(qx)+δy(qy) at centers, with the outer K
-    columns zeroed (they are halo columns, rewritten by the next halo
-    fill). Matches the XLA path's reconstruction exactly (shared tables).
-    """
+def _divergence_call(c_batched, U, V, wet_c, W, IV, order, vorder,
+                     weights, by):
     nt, nz, nyp, nxp = c_batched.shape
-    K = (order + 1) // 2
+    fused_z = W is not None
     ny_t = -(-nyp // by) * by
     n_tiles = ny_t // by
     wy = by + 2 * _MARGIN
@@ -176,15 +225,25 @@ def weno_horizontal_divergence(c_batched, U, V, wet_c, order=5,
         pads[-1] = (0, nx_t - nxp)
         return jnp.pad(a, pads)
 
-    cp = pad(c_batched)
-    wetp = pad(wet_c)
-    up = pad(U)
-    vp = pad(V)
     ft = c_batched.dtype
+    ins = [pad(c_batched), pad(wet_c), pad(U), pad(V)]
+    scratch = [
+        pltpu.VMEM((2, nt, nz, wy, nx_t), ft),
+        pltpu.VMEM((2, nz, wy, nx_t), ft),
+        pltpu.VMEM((2, nz, by + _MARGIN, nx_t), ft),
+        pltpu.VMEM((2, nz, by + _MARGIN, nx_t), ft),
+    ]
+    if fused_z:
+        ins += [pad(W), pad(IV)]
+        scratch += [
+            pltpu.VMEM((2, nz + 1, by, nx_t), ft),
+            pltpu.VMEM((2, nz, by, nx_t), ft),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((2, 6 if fused_z else 4)))
 
     out = pl.pallas_call(
-        partial(_kernel, order=order, nt=nt, nz=nz, by=by, nxp=nx_t,
-                n_tiles=n_tiles, weights=weights),
+        partial(_kernel, order=order, vorder=vorder, nt=nt, nz=nz, by=by,
+                nxp=nx_t, n_tiles=n_tiles, weights=weights),
         out_shape=jax.ShapeDtypeStruct((nt, nz, ny_t, nx_t), ft),
         grid=(n_tiles,),
         interpret=jax.default_backend() == "cpu",
@@ -192,15 +251,39 @@ def weno_horizontal_divergence(c_batched, U, V, wet_c, order=5,
         # default 16 MB limit is far below the 128 MB physically available
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(ins),
         out_specs=pl.BlockSpec((nt, nz, by, nx_t), lambda j: (0, 0, j, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, nt, nz, wy, nx_t), ft),
-            pltpu.VMEM((2, nz, wy, nx_t), ft),
-            pltpu.VMEM((2, nz, by + _MARGIN, nx_t), ft),
-            pltpu.VMEM((2, nz, by + _MARGIN, nx_t), ft),
-            pltpu.SemaphoreType.DMA((2, 4)),
-        ],
-    )(cp, wetp, up, vp)
+        scratch_shapes=scratch,
+    )(*ins)
     return out[:, :, :nyp, :nxp]
+
+
+def weno_horizontal_divergence(c_batched, U, V, wet_c, order=5,
+                               weights="zweno", by=8):
+    """Fused horizontal WENO flux divergence for batched tracers.
+
+    c_batched: (Nt, Nz, Nyp, Nxp) padded tracers (halos filled, H >= K).
+    U, V: premultiplied face transports Δy_fc·Δz·u·wet_u / Δx_cf·Δz·v·wet_v
+    (so the kernel needs no metric or mask windows and z★ thicknesses ride
+    in for free). Returns δx(qx)+δy(qy) at centers, with the outer K
+    columns zeroed (they are halo columns, rewritten by the next halo
+    fill). Matches the XLA path's reconstruction exactly (shared tables).
+    """
+    return _divergence_call(c_batched, U, V, wet_c, None, None, order,
+                            None, weights, by)
+
+
+def weno_tracer_divergence(c_batched, U, V, W, wet_c, inv_vol, order=5,
+                           vertical_order=5, weights="zweno", by=8):
+    """Fully-fused advective tendency: horizontal + vertical WENO flux
+    divergence and the final ``-(div/vol)·wet`` in ONE kernel.
+
+    Additional inputs over `weno_horizontal_divergence`:
+    W: premultiplied vertical transport Az·w·wet_w at (Nz+1) faces.
+    inv_vol: wet_c / (Az·Δz) — the reciprocal cell volume (3-D under z★).
+    Returns the tendency `-(δx qx + δy qy + δz qz) / vol` on wet cells,
+    matching `tracer.tracer_flux_divergence`'s XLA path to f32 roundoff.
+    """
+    return _divergence_call(c_batched, U, V, wet_c, W, inv_vol, order,
+                            vertical_order, weights, by)

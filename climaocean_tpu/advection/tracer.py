@@ -58,11 +58,12 @@ def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
     default is the static 1-D spacing broadcast.
 
     On TPU backends (or with ``CLIMAOCEAN_PALLAS_WENO=1``; ``=0``
-    disables) the batched order-5/7 horizontal
-    reconstruction routes through the fused Pallas kernel
-    (`advection/pallas_weno.py`) — VMEM-resident stencil windows instead
-    of the roll-chain's many HBM passes. The vertical flux stays on the
-    XLA path either way, so the fused result is bit-compatible.
+    disables) the batched order-5/7 reconstruction routes through the
+    fused Pallas kernel (`advection/pallas_weno.py`) — VMEM-resident
+    stencil windows instead of the roll-chain's many HBM passes. With a
+    WENO vertical scheme the whole tendency (horizontal + vertical flux
+    divergence + volume divide) is ONE kernel; results match the XLA path
+    to f32 roundoff (shared reconstruction tables, parity-tested).
     """
     wet_c = grid.wet_c
     dz = grid.dz_c[:, None, None] if dzc3 is None else dzc3
@@ -70,9 +71,15 @@ def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
     # --- horizontal fluxes ---------------------------------------------------
     if (_use_pallas() and order in (5, 7) and c.ndim == 4
             and c.shape[-1] >= order + 5):
-        from .pallas_weno import weno_horizontal_divergence
+        from .pallas_weno import (weno_horizontal_divergence,
+                                  weno_tracer_divergence)
         U = grid.dy_fc * dz * u * grid.wet_u
         V = grid.dx_cf * dz * v * grid.wet_v
+        if vertical_order > 1:
+            W = grid.az_cc * w * grid.wet_w
+            inv_vol = wet_c / (grid.az_cc * dz)
+            return weno_tracer_divergence(c, U, V, W, wet_c, inv_vol, order,
+                                          min(vertical_order, order), weights)
         hdiv = weno_horizontal_divergence(c, U, V, wet_c, order, weights)
     else:
         cx = weno_upwind(c, u, X, order, wet_c, weights=weights)

@@ -86,6 +86,38 @@ def _beta(order, m, vals):
     raise ValueError(f"unsupported WENO order {order}")
 
 
+def _weno_core(get_val, get_wet, order, weights):
+    """One WENO reconstruction from offset accessors.
+
+    ``get_val(o)`` / ``get_wet(o)`` return the (already side-selected)
+    substencil value at left-biased offset ``o``. Shared by the XLA path
+    below and the Pallas kernel (`pallas_weno.py`), so both use the same
+    tables and operation order by construction.
+    """
+    tbl = _LEFT[order]
+    K = (order + 1) // 2
+    recon, betas = [], []
+    for m in range(K):
+        offs, coeffs = tbl[m]
+        vals = [get_val(o) for o in offs]
+        recon.append(sum(c * v for c, v in zip(coeffs, vals)))
+        b = _beta(order, m, vals)
+        if get_wet is not None:
+            pen = sum(1.0 - get_wet(o) for o in offs)
+            b = b + _PENALTY * pen
+        betas.append(b)
+
+    ideal = tbl["ideal"]
+    if weights == "normal_division":
+        alphas = [d / (b + _EPS) ** 2 for d, b in zip(ideal, betas)]
+    else:
+        tau = jnp.abs(betas[0] - betas[-1])
+        alphas = [d * (1.0 + (tau / (b + _EPS)) ** 2)
+                  for d, b in zip(ideal, betas)]
+    total = sum(alphas)
+    return sum(al * r for al, r in zip(alphas, recon)) / total
+
+
 def weno_biased(a, axis, order=5, side="left", wet=None, boundary="wrap",
                 weights="zweno"):
     """Biased WENO reconstruction of cell field ``a`` at faces.
@@ -102,43 +134,49 @@ def weno_biased(a, axis, order=5, side="left", wet=None, boundary="wrap",
     orca/halfdegree/tenthdegree momentum and OMIP tracer schemes,
     `omip_simulation.jl:562-564,600`).
     """
-    tbl = _LEFT[order]
-    K = (order + 1) // 2
     mirror = side == "right"
     shift = shift_n if boundary == "wrap" else shift_clamp
 
     def at(off):
-        o = (-1 - off) if mirror else off
-        return o
+        return (-1 - off) if mirror else off
 
-    recon, betas = [], []
-    for m in range(K):
-        offs, coeffs = tbl[m]
-        vals = [shift(a, axis, at(o)) for o in offs]
-        recon.append(sum(c * v for c, v in zip(coeffs, vals)))
-        b = _beta(order, m, vals)
-        if wet is not None:
-            pen = sum(1.0 - shift(wet, axis, at(o)) for o in offs)
-            b = b + _PENALTY * pen
-        betas.append(b)
-
-    ideal = tbl["ideal"]
-    if weights == "normal_division":
-        alphas = [d / (b + _EPS) ** 2 for d, b in zip(ideal, betas)]
-    else:
-        tau = jnp.abs(betas[0] - betas[-1])
-        alphas = [d * (1.0 + (tau / (b + _EPS)) ** 2)
-                  for d, b in zip(ideal, betas)]
-    total = sum(alphas)
-    return sum(al * r for al, r in zip(alphas, recon)) / total
+    get_val = lambda o: shift(a, axis, at(o))
+    get_wet = None if wet is None else (lambda o: shift(wet, axis, at(o)))
+    return _weno_core(get_val, get_wet, order, weights)
 
 
 def weno_upwind(a, velocity_sign, axis, order=5, wet=None, boundary="wrap",
                 weights="zweno"):
-    """Upwind WENO value at faces: left-biased where sign >= 0, else right."""
-    left = weno_biased(a, axis, order, "left", wet, boundary, weights)
-    right = weno_biased(a, axis, order, "right", wet, boundary, weights)
-    return jnp.where(velocity_sign >= 0, left, right)
+    """Upwind WENO value at faces: left-biased where sign >= 0, else right.
+
+    Implemented by upwind-selecting the stencil INPUTS (per-lane) and
+    running ONE reconstruction — mathematically identical to reconstructing
+    both sides and `where`-selecting the results (the reconstruction is a
+    deterministic per-lane function of its inputs, applied with the same
+    coefficient order on both sides; compiled values can differ by FMA
+    contraction roundoff), at a bit more than half the flops.
+    The WENO arithmetic dominates the advection pass on the VPU
+    (measured compute-bound at 1/4°), so this is ~2x on the hot op.
+    """
+    up = velocity_sign >= 0
+    shift = shift_n if boundary == "wrap" else shift_clamp
+
+    val_cache, wet_cache = {}, {}
+
+    def get_val(o):
+        if o not in val_cache:
+            val_cache[o] = jnp.where(up, shift(a, axis, o),
+                                     shift(a, axis, -1 - o))
+        return val_cache[o]
+
+    def get_wet(o):
+        if o not in wet_cache:
+            wet_cache[o] = jnp.where(up, shift(wet, axis, o),
+                                     shift(wet, axis, -1 - o))
+        return wet_cache[o]
+
+    return _weno_core(get_val, None if wet is None else get_wet,
+                      order, weights)
 
 
 def centered_face(a, axis):

@@ -34,6 +34,25 @@ def is_coordinator() -> bool:
     return jax.process_index() == 0
 
 
+def fetch_global(x):
+    """Device→host fetch that is safe at pod scale.
+
+    Single-host (including single-chip and faked CPU meshes): plain
+    `np.asarray`. Multi-host (`jax.process_count() > 1`), where a sharded
+    `jax.Array` is not fully addressable and `np.asarray` raises: gather
+    the global value with an all-gather so every process (in practice the
+    `is_coordinator()` one, which is the only one that writes) sees the
+    full array. Writers and checkpointing route every device read through
+    this, keeping the reference's rank-0 output discipline
+    (`jra55_data_staging.jl:2-5`) correct on multi-host TPU slices."""
+    if not hasattr(x, "ndim"):
+        return x
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def make_mesh(shape=None, devices=None) -> Mesh:
     """Create a ('y', 'x') mesh. ``shape=(Ry, Rx)`` like the reference's
     `Partition(Rx, Ry)`; defaults to a near-square factorization of all

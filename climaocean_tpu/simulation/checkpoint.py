@@ -28,7 +28,8 @@ def _flatten(tree, prefix=""):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
     else:
-        out[prefix[:-1]] = np.asarray(tree)
+        from ..parallel.mesh import fetch_global
+        out[prefix[:-1]] = fetch_global(tree)
     return out
 
 

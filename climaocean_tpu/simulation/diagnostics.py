@@ -158,8 +158,9 @@ class FieldWriter:
         else:
             data = self.compute(sim.state)
         H = self.grid.H
-        rec = {k: np.asarray(v)[..., H:H + self.grid.Ny, H:H + self.grid.Nx]
-               if np.ndim(v) >= 2 else np.asarray(v)
+        from ..parallel.mesh import fetch_global
+        rec = {k: fetch_global(v)[..., H:H + self.grid.Ny, H:H + self.grid.Nx]
+               if np.ndim(v) >= 2 else fetch_global(v)
                for k, v in data.items()}
         rec["time"] = np.float64(sim.time)
         rec["iteration"] = np.int64(sim.iteration)

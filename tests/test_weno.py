@@ -90,3 +90,27 @@ def test_normal_division_plumbed_through_model():
     assert "normal_division" in src
     from climaocean_tpu.models.hydrostatic import HydrostaticModel
     assert HydrostaticModel.__dataclass_fields__["weno_weights"].default == "zweno"
+
+
+def test_upwind_equals_selected_biased():
+    """The input-selected single-reconstruction upwind path is
+    mathematically identical to reconstructing both biased values and
+    where-selecting (the optimization contract in `weno.weno_upwind`);
+    compiled results may differ by FMA-contraction roundoff only."""
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.normal(size=(2, 4, 8, 32)).astype(np.float32))
+    wet = jnp.asarray((rng.random(size=(4, 8, 32)) > 0.2).astype(np.float32))
+    sign = jnp.asarray(rng.normal(size=(4, 8, 32)).astype(np.float32))
+
+    @partial(jax.jit, static_argnums=(3, 4))
+    def both(a, wet, sign, order, weights):
+        fused = weno_upwind(a, sign, -1, order, wet=wet, weights=weights)
+        left = weno_biased(a, -1, order, "left", wet=wet, weights=weights)
+        right = weno_biased(a, -1, order, "right", wet=wet, weights=weights)
+        return fused, jnp.where(sign >= 0, left, right)
+
+    for order in (3, 5, 7):
+        for weights in ("zweno", "normal_division"):
+            fused, ref = both(a, wet, sign, order, weights)
+            np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                       rtol=5e-6, atol=5e-7)
