@@ -31,12 +31,33 @@ import jax
 import jax.numpy as jnp
 
 
+def _use_pallas():
+    from ..advection.tracer import _use_pallas as up
+    return up()
+
+
 def solve_tridiagonal(a, b, c, d):
     """Solve a batch of tridiagonal systems along axis 0.
 
-    All arguments are broadcast-compatible arrays of shape (Nz, ...).
-    Returns x with the same shape as d.
+    a, b, c are broadcast-compatible arrays of shape (Nz, ...); ``d`` may
+    additionally carry a LEADING field-batch axis (Nf, Nz, ...) sharing
+    one matrix — the implicit T/S (and u/v) solves use this. Returns x
+    with the same shape as d.
+
+    On TPU backends, 3-D-plane problems route through the VMEM-resident
+    Pallas kernel (`core/pallas_tridiagonal.py`); the unrolled XLA form
+    below is the portable path (same algorithm, roundoff-equal).
     """
+    batched = d.ndim == 4
+    if (_use_pallas() and not os.environ.get("CLIMAOCEAN_SCAN_TRIDIAGONAL")
+            and d.ndim in (3, 4) and d.shape[-1] >= 128):
+        from .pallas_tridiagonal import solve_tridiagonal_pallas
+        target = d.shape[1:] if batched else d.shape
+        ab, bb, cb = (jnp.broadcast_to(m, target) for m in (a, b, c))
+        return solve_tridiagonal_pallas(ab, bb, cb, d)
+    if batched:
+        x = [solve_tridiagonal(a, b, c, d[i]) for i in range(d.shape[0])]
+        return jnp.stack(x)
     if os.environ.get("CLIMAOCEAN_SCAN_TRIDIAGONAL"):
         return _solve_tridiagonal_scan(a, b, c, d)
     a, b, c, d = jnp.broadcast_arrays(a, b, c, d)

@@ -439,8 +439,8 @@ def implicit_vertical_step(model, state, aux, dt, w_impl=None):
         a = a - lam * wp[:-1]
         b = b + lam * (wp[1:] - wm[:-1])
         c = c + lam * wm[1:]
-    TS = jax.vmap(solve_tridiagonal, in_axes=(None, None, None, 0))(
-        a, b, c, jnp.stack([state["T"], state["S"]]) * grid.wet_c)
+    TS = solve_tridiagonal(a, b, c,
+                           jnp.stack([state["T"], state["S"]]) * grid.wet_c)
     T, S = TS[0], TS[1]
 
     au, bu, cu = implicit_vertical_diffusion_matrix(
