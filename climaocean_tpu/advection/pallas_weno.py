@@ -41,6 +41,37 @@ from jax.experimental.pallas import tpu as pltpu
 from .weno import _weno_core
 
 _MARGIN = 8          # aligned sublane margin (stencil needs K <= 4)
+_VMEM_LIMIT = 110 * 1024 * 1024   # scoped-VMEM request (< 128 MB physical)
+
+
+def scratch_vmem_bytes(nt, nz, nxp, by, fused_z, itemsize=4):
+    """Static VMEM scratch footprint of `_divergence_call` (double-buffered
+    input slabs + the output block). Compute temporaries of the WENO chain
+    live on top of this, so callers should gate against a budget well
+    below `_VMEM_LIMIT` (see `choose_block`)."""
+    wy = by + 2 * _MARGIN
+    nx_t = -(-nxp // 128) * 128
+    n = 2 * (nt * nz * wy            # c
+             + nz * wy               # wet
+             + 2 * nz * (by + _MARGIN))   # U, V
+    if fused_z:
+        n += 2 * ((nz + 1) * by + nz * by)  # W, inv_vol
+    n += nt * nz * by                # output block
+    return n * nx_t * itemsize
+
+
+def choose_block(nt, nz, nxp, fused_z, budget=None):
+    """Largest y-slab height whose scratch fits the VMEM budget, or None
+    when even the smallest slab overflows (→ caller falls back to the XLA
+    path). Budget default leaves ~35% of the scoped-VMEM request for the
+    reconstruction's live temporaries (measured headroom at the 1/4°
+    operating point: by=8 scratch ≈ 34 MB under the 110 MB limit)."""
+    if budget is None:
+        budget = int(0.65 * _VMEM_LIMIT)
+    for by in (8, 4, 2):
+        if scratch_vmem_bytes(nt, nz, nxp, by, fused_z) <= budget:
+            return by
+    return None
 
 
 def _upwind_value(cell, wet, up, order, weights):
@@ -249,8 +280,7 @@ def _divergence_call(c_batched, U, V, wet_c, W, IV, order, vorder,
         interpret=jax.default_backend() == "cpu",
         # the WENO dependency chain needs a deep scoped-VMEM stack; the
         # default 16 MB limit is far below the 128 MB physically available
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(ins),
         out_specs=pl.BlockSpec((nt, nz, by, nx_t), lambda j: (0, 0, j, 0),
                                memory_space=pltpu.VMEM),

@@ -32,21 +32,22 @@ from .weno import weno_upwind, centered_face
 
 # Fused Pallas path (parity-tested in tests/test_pallas_kernel.py).
 # Default: on for TPU backends, off elsewhere (interpret mode is slow on
-# CPU). CLIMAOCEAN_PALLAS_WENO=1/0 forces it either way. Resolved lazily so
-# importing this module never initializes a jax backend.
-_PALLAS_WENO = None
+# CPU). CLIMAOCEAN_PALLAS_WENO=1/0 forces it either way — re-read per call
+# so tests/users can toggle it mid-process; only the backend probe is
+# cached (it never changes within a process, and resolving it lazily keeps
+# module import from initializing a jax backend).
+_PALLAS_DEFAULT = None
 
 
 def _use_pallas():
-    global _PALLAS_WENO
-    if _PALLAS_WENO is None:
-        env = os.environ.get("CLIMAOCEAN_PALLAS_WENO")
-        if env is not None:
-            _PALLAS_WENO = env not in ("", "0")
-        else:
-            import jax
-            _PALLAS_WENO = jax.default_backend() not in ("cpu",)
-    return _PALLAS_WENO
+    env = os.environ.get("CLIMAOCEAN_PALLAS_WENO")
+    if env is not None:
+        return env not in ("", "0")
+    global _PALLAS_DEFAULT
+    if _PALLAS_DEFAULT is None:
+        import jax
+        _PALLAS_DEFAULT = jax.default_backend() not in ("cpu",)
+    return _PALLAS_DEFAULT
 
 
 def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
@@ -69,8 +70,19 @@ def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
     dz = grid.dz_c[:, None, None] if dzc3 is None else dzc3
 
     # --- horizontal fluxes ---------------------------------------------------
+    # Fused-path gates: (a) the grid halo must cover the stencil (the kernel
+    # only writes faces at x in [K, nxp-K] and assumes halo-filled inputs —
+    # a too-small halo would silently compute garbage near tile edges);
+    # (b) the double-buffered scratch must fit VMEM (`choose_block` shrinks
+    # the y-slab, then gives up → XLA path; without the gate, sixth/tenth-
+    # degree single-device shapes fail to compile).
+    by = None
     if (_use_pallas() and order in (5, 7) and c.ndim == 4
-            and c.shape[-1] >= order + 5):
+            and c.shape[-1] >= order + 5 and grid.H >= (order + 1) // 2):
+        from .pallas_weno import choose_block
+        by = choose_block(c.shape[0], c.shape[1], c.shape[-1],
+                          fused_z=vertical_order > 1)
+    if by is not None:
         from .pallas_weno import (weno_horizontal_divergence,
                                   weno_tracer_divergence)
         U = grid.dy_fc * dz * u * grid.wet_u
@@ -79,8 +91,10 @@ def tracer_flux_divergence(c, u, v, w, grid, order=5, vertical_order=5,
             W = grid.az_cc * w * grid.wet_w
             inv_vol = wet_c / (grid.az_cc * dz)
             return weno_tracer_divergence(c, U, V, W, wet_c, inv_vol, order,
-                                          min(vertical_order, order), weights)
-        hdiv = weno_horizontal_divergence(c, U, V, wet_c, order, weights)
+                                          min(vertical_order, order), weights,
+                                          by=by)
+        hdiv = weno_horizontal_divergence(c, U, V, wet_c, order, weights,
+                                          by=by)
     else:
         cx = weno_upwind(c, u, X, order, wet_c, weights=weights)
         cy = weno_upwind(c, v, Y, order, wet_c, weights=weights)

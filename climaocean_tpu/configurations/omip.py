@@ -118,7 +118,22 @@ def omip_forcing(grid, start_time=0.0, end_time=10 * days, forcing_dir=None,
 
     if forcing_dir is not None:
         from ..data.netcdf import find_netcdf
-        if find_netcdf(forcing_dir, "tas") is not None:
+        if find_netcdf(forcing_dir, "tas") is None:
+            # the caller POINTED at a forcing directory; silently running a
+            # production protocol on analytic forcing would be a very
+            # expensive mistake (mirrors data.metadata.load_native)
+            import warnings
+            warnings.warn(
+                f"forcing_dir='{forcing_dir}' holds no JRA55-style NetCDF "
+                "(no 'tas' file found) — falling back to the SYNTHETIC "
+                "atmosphere proxy (set CLIMAOCEAN_STRICT_DATA=1 to make "
+                "this an error)", stacklevel=2)
+            from ..data.metadata import _strict_data
+            if _strict_data():
+                raise FileNotFoundError(
+                    f"no JRA55 forcing files under '{forcing_dir}' and "
+                    "strict data mode is on")
+        else:
             if time_indices_in_memory is not None:
                 pf = PrefetchingAtmosphere.from_files(
                     grid, forcing_dir,
@@ -180,11 +195,19 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
     ocean_model, ocean_state = builder(**kw)
     grid = ocean_model.grid
 
+    # OMIP-level tracer-advection override: the reference replaces every
+    # config's tracer scheme with WENO(order=7, minimum_buffer_upwind_order=3,
+    # NormalDivision) (`omip_simulation.jl:600`) — momentum keeps the
+    # per-config scheme/weights. (The buffer≥3 near-boundary behavior is the
+    # dry-substencil ENO penalty in `advection/weno.py`.)
+    import dataclasses
+    ocean_model = dataclasses.replace(ocean_model, tracer_order=7,
+                                      tracer_weno_weights="normal_division")
+
     if salinity_restoring:
         # WOA surface-salinity piston restoring rides the closure tuple as an
         # additional surface flux (reference `additional_surface_fluxes`,
         # `omip_simulation.jl:507-523`)
-        import dataclasses
         from ..data.restoring import woa_salinity_restoring
         restoring = woa_salinity_restoring(grid, piston_velocity)
         ocean_model = dataclasses.replace(
@@ -251,32 +274,6 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
         add_omip_diagnostics(sim, grid, dir=output_dir)
     sim.model = model
     return sim
-
-
-def salinity_normalizer(grid):
-    """Reference `NormalizeSalinity` (`omip_simulation.jl:182-220`): subtract
-    the global wet-area mean of the surface salinity flux each iteration so
-    the global salt budget closes. Operates on the net-flux diagnostics
-    carried in the coupled state; the correction is applied to the next
-    step by storing an offset the coupler subtracts."""
-    import jax
-    import jax.numpy as jnp
-
-    wet2 = grid.wet_c[-1]
-    area = jnp.sum(grid.az_cc * wet2)
-
-    @jax.jit
-    def mean_flux(QS):
-        return jnp.sum(QS * grid.az_cc * wet2) / area
-
-    def cb(sim):
-        nf = sim.state.get("net_fluxes")
-        if nf is None:
-            return
-        mean = mean_flux(nf["Q_S"])
-        sim.state["salinity_flux_offset"] = mean
-
-    return cb
 
 
 def omip_progress_callback(grid, hash_iterations=(1, 5, 100, 1000)):

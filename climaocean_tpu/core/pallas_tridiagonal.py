@@ -56,6 +56,28 @@ def _kernel(a_ref, b_ref, c_ref, d_ref, x_ref, *, nz, nf):
     x_ref[...] = jnp.stack(xs[::-1], axis=1)
 
 
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+
+def block_vmem_bytes(nf, nz, nx, by, itemsize=4):
+    """Live-VMEM estimate for one grid step: double-buffered in/out blocks
+    (Pallas pipelining) + the forward sweep's retained cp/dp levels."""
+    nx_t = -(-nx // 128) * 128
+    pipelined = 2 * (3 * nz + 2 * nf * nz)       # a,b,c,d in + x out, ×2
+    sweeps = nz * (1 + nf)                       # cp[k] and dp[k] kept live
+    return (pipelined + sweeps) * by * nx_t * itemsize
+
+
+def choose_block(nf, nz, nx, budget=None):
+    """Largest y-slab whose live VMEM fits, or None (→ XLA fallback)."""
+    if budget is None:
+        budget = int(0.7 * _VMEM_LIMIT)
+    for by in (16, 8, 4, 2):
+        if block_vmem_bytes(nf, nz, nx, by) <= budget:
+            return by
+    return None
+
+
 def solve_tridiagonal_pallas(a, b, c, d, by=16):
     """Solve the batch of column systems with a fused Pallas kernel.
 
@@ -82,6 +104,7 @@ def solve_tridiagonal_pallas(a, b, c, d, by=16):
         out_shape=jax.ShapeDtypeStruct((nf, nz, ny_t, nx_t), ft),
         grid=(n_tiles,),
         interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         in_specs=[
             pl.BlockSpec((nz, by, nx_t), lambda j: (0, j, 0)),
             pl.BlockSpec((nz, by, nx_t), lambda j: (0, j, 0)),

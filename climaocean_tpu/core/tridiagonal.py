@@ -51,10 +51,13 @@ def solve_tridiagonal(a, b, c, d):
     batched = d.ndim == 4
     if (_use_pallas() and not os.environ.get("CLIMAOCEAN_SCAN_TRIDIAGONAL")
             and d.ndim in (3, 4) and d.shape[-1] >= 128):
-        from .pallas_tridiagonal import solve_tridiagonal_pallas
-        target = d.shape[1:] if batched else d.shape
-        ab, bb, cb = (jnp.broadcast_to(m, target) for m in (a, b, c))
-        return solve_tridiagonal_pallas(ab, bb, cb, d)
+        from .pallas_tridiagonal import choose_block, solve_tridiagonal_pallas
+        nf = d.shape[0] if batched else 1
+        by = choose_block(nf, d.shape[-3], d.shape[-1])
+        if by is not None:     # else fall through: VMEM overflow (large Nz)
+            target = d.shape[1:] if batched else d.shape
+            ab, bb, cb = (jnp.broadcast_to(m, target) for m in (a, b, c))
+            return solve_tridiagonal_pallas(ab, bb, cb, d, by=by)
     if batched:
         x = [solve_tridiagonal(a, b, c, d[i]) for i in range(d.shape[0])]
         return jnp.stack(x)

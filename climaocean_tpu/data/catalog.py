@@ -15,10 +15,15 @@ Each catalog entry records, per dataset:
   `data.download` remains the fallback either way),
 - ``variables`` — canonical name → NetCDF variable name,
 - ``convention`` — ``"teos10"`` when the file already stores Conservative
-  Temperature / Absolute Salinity, ``"insitu_practical"`` when it stores
-  in-situ (or potential) temperature and practical salinity and must be
-  converted at ingestion (`physics.teos10_conversions`, reference
-  `omip_simulation.jl:408-417`).
+  Temperature / Absolute Salinity; ``"insitu_practical"`` when it stores
+  genuinely in-situ temperature + practical salinity (WOA t_an/s_an) and
+  needs the full in-situ → potential → Conservative pipeline at ingestion
+  (reference `omip_simulation.jl:408-417` applies this to WOA only);
+  ``"potential_practical"`` when it stores POTENTIAL temperature +
+  practical salinity (ECCO THETA, EN4, GLORYS thetao) — the adiabatic
+  lapse-rate correction is already removed upstream, so ingestion goes
+  straight to `ct_from_pt` (running the in-situ pipeline on these would
+  remove the correction twice, biasing deep temperatures ~0.1–0.5 °C).
 
 Zero-egress environments exercise everything below with ``file://`` base
 URLs and synthetic fixture NetCDFs (tests/test_catalog.py).
@@ -113,7 +118,7 @@ CATALOG = {
                    "u_velocity": "EVEL", "v_velocity": "NVEL",
                    "free_surface": "SSH"},
         # ECCO v4 stores potential temperature / practical salinity
-        convention="insitu_practical"),
+        convention="potential_practical"),
     "ECCO2Daily": CatalogEntry(
         dataset="ECCO2Daily",
         base_url="https://ecco.jpl.nasa.gov/drive/files/ECCO2/"
@@ -131,7 +136,7 @@ CATALOG = {
         variables={"temperature": "THETA", "salinity": "SALT",
                    "sea_ice_thickness": "SIheff",
                    "sea_ice_concentration": "SIarea"},
-        convention="insitu_practical"),
+        convention="potential_practical"),
     "EN4Monthly": CatalogEntry(
         dataset="EN4Monthly",
         base_url="https://www.metoffice.gov.uk/hadobs/en4/data/en4-2-2",
@@ -142,7 +147,7 @@ CATALOG = {
                 "EN.4.2.2.f.analysis.g10.{year:04d}{month:02d}.nc",
         },
         variables={"temperature": "temperature", "salinity": "salinity"},
-        convention="insitu_practical",
+        convention="potential_practical",
         temperature_kelvin=True),   # EN4 potential temperature is in K
     "WOAAnnual": CatalogEntry(
         dataset="WOAAnnual",
@@ -177,7 +182,7 @@ CATALOG = {
         },
         variables={"temperature": "thetao", "salinity": "so",
                    "free_surface": "zos"},
-        convention="insitu_practical"),
+        convention="potential_practical"),   # thetao = potential temperature
     "ETOPO": CatalogEntry(
         dataset="ETOPO",
         base_url="https://www.ngdc.noaa.gov/thredds/fileServer/global/"
@@ -195,8 +200,11 @@ def catalog_entry(dataset_name: str) -> CatalogEntry | None:
 
 def needs_teos10_conversion(dataset_name: str, variable: str) -> bool:
     """True when `variable` from `dataset_name` must be converted to
-    TEOS-10 conventions at ingestion (reference applies this to WOA;
-    EN4/ECCO/GLORYS ship the same pre-TEOS conventions)."""
+    TEOS-10 conventions at ingestion. The *kind* of conversion depends on
+    the entry's ``convention``: WOA (in-situ) takes the full
+    in-situ → potential → Conservative pipeline; ECCO/EN4/GLORYS
+    (already potential) skip the lapse-rate integration."""
     e = CATALOG.get(dataset_name)
-    return (e is not None and e.convention == "insitu_practical"
+    return (e is not None
+            and e.convention in ("insitu_practical", "potential_practical")
             and variable in ("temperature", "salinity"))

@@ -132,10 +132,17 @@ def _catalog_netcdf(meta: Metadatum):
 
 
 def _convert_teos10(meta: Metadatum, data, z_f, lat_f, lon_f):
-    """Apply in-situ/practical → TEOS-10 conversion at ingestion when the
-    dataset's catalog entry requires it (reference
-    `omip_simulation.jl:408-417`: WOA t_an [in-situ °C] + s_an [PSS-78]
-    → Conservative Temperature + Absolute Salinity)."""
+    """Apply practical/pre-TEOS → TEOS-10 conversion at ingestion when the
+    dataset's catalog entry requires it. Two pipelines, keyed on the
+    entry's ``convention`` (see `data.catalog`):
+
+    - ``insitu_practical`` (WOA t_an + s_an): the full reference pipeline
+      (`omip_simulation.jl:408-417`) — in-situ T → potential T via the
+      Fofonoff lapse-rate integration → Conservative Temperature.
+    - ``potential_practical`` (ECCO THETA, EN4, GLORYS thetao): the file
+      already stores POTENTIAL temperature, so the lapse-rate step is
+      skipped and `ct_from_pt` applies directly (running the in-situ
+      pipeline would remove the adiabatic correction twice)."""
     from .catalog import catalog_entry, needs_teos10_conversion
     from ..physics import teos10_conversions as conv
 
@@ -158,9 +165,12 @@ def _convert_teos10(meta: Metadatum, data, z_f, lat_f, lon_f):
             raise ValueError("salinity companion shape mismatch")
     except Exception:
         SP = np.full_like(T, 35.0)
-    z_c = 0.5 * (np.asarray(z_f[:-1]) + np.asarray(z_f[1:]))
-    p = conv.pressure_from_depth(z_c)[:, None, None]
-    pt = conv.potential_temperature(SP, T, p, 0.0)
+    if entry.convention == "potential_practical":
+        pt = T                                   # already potential
+    else:
+        z_c = 0.5 * (np.asarray(z_f[:-1]) + np.asarray(z_f[1:]))
+        p = conv.pressure_from_depth(z_c)[:, None, None]
+        pt = conv.potential_temperature(SP, T, p, 0.0)
     return conv.ct_from_pt(conv.sa_from_sp(SP), pt)
 
 
@@ -199,16 +209,38 @@ def _synthetic_native(meta: Metadatum):
     return np.asarray(data, np.float64), z_f, lat_f, lon_f
 
 
-def load_native(meta: Metadatum):
+def _strict_data() -> bool:
+    return os.environ.get("CLIMAOCEAN_STRICT_DATA", "") not in ("", "0")
+
+
+def load_native(meta: Metadatum, strict=None):
     """Return (data[nz, nlat, nlon], z_f, lat_f, lon_f) on the dataset's
     native grid: local file if present (.npz, the catalog's canonical
     NetCDF filename, or any NetCDF in ``dir`` holding the variable —
     reference `metadata_path` + NCDatasets read, SURVEY.md §3.3), else the
     analytic proxy. File-backed in-situ/practical T/S (WOA, EN4, …) are
     converted to TEOS-10 Θ/S_A here (`omip_simulation.jl:408-417`); the
-    synthetic proxies already emit TEOS-10 conventions."""
+    synthetic proxies already emit TEOS-10 conventions.
+
+    Falling back to the synthetic proxy is LOUD (one warning per address):
+    a production run with a mistyped ``dir`` must not silently initialize
+    from analytic fields. ``strict=True`` (or CLIMAOCEAN_STRICT_DATA=1)
+    raises instead."""
     loaded = _load_native_raw(meta)
     if loaded is None:
+        if strict is None:
+            strict = _strict_data()
+        if strict:
+            raise FileNotFoundError(
+                f"no local file for {meta.dataset}:{meta.name} under "
+                f"'{meta.dir}' (looked for {meta.path()} and catalog/NetCDF "
+                f"matches) and strict data mode is on")
+        import warnings
+        warnings.warn(
+            f"dataset {meta.dataset}:{meta.name} not found under "
+            f"'{meta.dir}' — falling back to the SYNTHETIC analytic proxy "
+            f"(set CLIMAOCEAN_STRICT_DATA=1 to make this an error)",
+            stacklevel=2)
         return _synthetic_native(meta)
     data, z_f, lat_f, lon_f = loaded
     if not os.path.exists(meta.path()):      # .npz caches are pre-converted

@@ -129,6 +129,12 @@ def _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
     w_eff = (2.0 * (M - jnp.arange(M, dtype=bt.eta.dtype)) / (M * M)
              ).reshape(n_blocks, k_defer)
 
+    # the deferred cadence assumes H >= 2 (one substep consumes two halo
+    # rings: the η update reads U one ring out, the transport update reads
+    # the NEW η one ring further); with H == 1 the η halo must be refreshed
+    # mid-substep or interior transports at the subdomain edge read stale η
+    mid_fill = grid.H < 2
+
     def body(carry, we_block):
         eta, U, V, eta_a, U_a, V_a, U_e, V_e = carry
         for j in range(k_defer):
@@ -136,6 +142,8 @@ def _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
             U_e = U_e + we * U      # entering U: the one the η update uses
             V_e = V_e + we * V
             eta = (eta - dtau * barotropic_divergence(U, V, grid)) * wet2_c
+            if mid_fill:
+                eta = fill_halos_2d(eta) * wet2_c
             U = (U + dtau * (-g * H_u * dxf(eta) / grid.dx_fc + GU)) * wet2_u
             V = (V + dtau * (-g * H_v * dyf(eta) / grid.dy_cf + GV)) * wet2_v
             eta_a, U_a, V_a = eta_a + w * eta, U_a + w * U, V_a + w * V

@@ -69,7 +69,8 @@ SW_SCALE2 = 23.0     # m
                       "eos", "substeps", "g", "rotation_rate", "rk3_gammas",
                       "stage_mode", "zstar", "timestepper", "ab2_chi",
                       "bottom_drag_coefficient", "consistent_transport",
-                      "weno_weights", "adaptive_vertical_cfl"])
+                      "weno_weights", "tracer_weno_weights",
+                      "adaptive_vertical_cfl"])
 @dataclass(frozen=True)
 class HydrostaticModel:
     """Model configuration. Registered as a pytree so the grid's metric and
@@ -124,6 +125,11 @@ class HydrostaticModel:
     # `weight_computation=NormalDivision` operating point for the
     # orca/halfdegree/tenthdegree configs, omip_simulation.jl:562-564,600).
     weno_weights: str = "zweno"
+    # tracer-advection weight computation when it differs from momentum's —
+    # the reference's OMIP override sets ALL configs' tracer scheme to
+    # WENO(order=7, NormalDivision) while momentum stays per-config
+    # (`omip_simulation.jl:600` vs :562-564). None = same as weno_weights.
+    tracer_weno_weights: object = None
     # Adaptive vertically-implicit ADVECTION (reference
     # `AdaptiveVerticallyImplicitDiscretization(cfl=0.4)`, `orca.jl:11-12`):
     # where the vertical tracer CFL exceeds `cfl`, the excess vertical
@@ -283,7 +289,9 @@ def _tracer_advection_terms(model, T, S, u, v, w, sigma, dzc3, dt=None):
     w_e, w_i = _split_vertical_velocity(model, w, dt)
     TS = jnp.stack([T, S])
     G_TS = tracer_flux_divergence(TS, u, v, w_e, grid, model.tracer_order,
-                                  dzc3=dzc3, weights=model.weno_weights)
+                                  dzc3=dzc3,
+                                  weights=(model.tracer_weno_weights
+                                           or model.weno_weights))
     if sigma is not None:
         # convert per-moving-volume tendency to thickness-weighted ∂t(σc)
         G_TS = G_TS * sigma[None, None]

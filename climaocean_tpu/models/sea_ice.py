@@ -70,7 +70,10 @@ def default_ice_atmosphere_fluxes():
 
 @partial(jax.tree_util.register_dataclass, data_fields=["grid"],
          meta_fields=["dynamics", "substeps", "Pstar", "Cstar", "e_ellipse",
-                      "atmosphere_fluxes", "snow", "min_thickness"])
+                      "atmosphere_fluxes", "snow", "min_thickness",
+                      "evp_alpha", "evp_beta", "advection_order",
+                      "advection_weights", "ice_salinity",
+                      "lateral_melt_fraction"])
 @dataclass(frozen=True)
 class SeaIceModel:
     grid: object
@@ -82,6 +85,24 @@ class SeaIceModel:
     atmosphere_fluxes: object = None
     snow: bool = True
     min_thickness: float = 0.05
+    # mEVP (α, β) subcycling parameters (Bouillon et al. 2013; Kimmritz et
+    # al. 2015): stress relaxes by 1/α per substep, momentum by 1/β —
+    # stability is governed by (α, β) alone (independent of the substep
+    # count, which only needs to be large enough for pseudo-convergence;
+    # α = β ≈ 300 is the standard mEVP operating point, CICE default range
+    # 300–800). Replaces the single ad-hoc dte/(0.25 dt) constant.
+    evp_alpha: float = 300.0
+    evp_beta: float = 300.0
+    # h/ℵ/hs advection: the reference uses WENO(order=7, NormalDivision)
+    # for sea-ice advection (`omip_simulation.jl:629`); 1 = donor-cell.
+    advection_order: int = 7
+    advection_weights: str = "normal_division"
+    # bulk ice salinity [g/kg] for the brine-rejection salt flux (ClimaSeaIce
+    # slab default range; NEMO/SI3 bulk value)
+    ice_salinity: float = 5.0
+    # fraction of melt taken laterally (reduces ℵ) vs basal (Hibler 1979
+    # two-category closure)
+    lateral_melt_fraction: float = 0.5
 
     def initial_state(self):
         grid = self.grid

@@ -122,9 +122,17 @@ class Simulation:
         if self.stop_time is not None:
             import math
             n = min(n, math.ceil((self.stop_time - self.time) / self.dt - 1e-9))
-        for sched in ([cb.schedule for cb in self.callbacks]
-                      + [w.schedule for w in self.output_writers
-                         if hasattr(w, "schedule")]):
+        scheds = [cb.schedule for cb in self.callbacks]
+        for w in self.output_writers:
+            if hasattr(w, "schedule"):
+                scheds.append(w.schedule)
+            # averaging writers SAMPLE on their stride between fires — a
+            # batch must not skip over a sampling iteration or the average
+            # silently loses samples under dispatch batching
+            if getattr(w, "averaging", False):
+                scheds.append(IterationInterval(
+                    getattr(w, "averaging_stride", 1)))
+        for sched in scheds:
             if isinstance(sched, IterationInterval):
                 # fires when iteration % n == 0 (checked after increment)
                 k = sched.n - self.iteration % sched.n
@@ -146,13 +154,14 @@ class Simulation:
         self.running = True
         self.wall_start = _time.time()
         while not self.should_stop():
-            # only two compiled programs ever: the 1-step function and the
-            # batch_size-step scan (remainders single-step — a partial
-            # batch would recompile the scan per distinct length)
+            # dispatch min(batch_size, steps-to-boundary) per device call.
+            # The compiled-program set stays small: schedule periods (and
+            # averaging strides) are fixed, so the distinct batch lengths
+            # cycle among a handful of values, each compiled once
+            # (`make_batched_step_fn` caches per length).
             n = 1
-            if self.multi_step_fn is not None and self.batch_size > 1 and \
-                    self._steps_to_boundary() >= self.batch_size:
-                n = self.batch_size
+            if self.multi_step_fn is not None and self.batch_size > 1:
+                n = min(self.batch_size, self._steps_to_boundary())
             if n > 1:
                 self.state = self.multi_step_fn(self.state, self.time,
                                                 self.dt, n)

@@ -84,8 +84,13 @@ def test_catalog_urls_and_conversion_flags():
             assert url.startswith("http"), (name, var)
     assert needs_teos10_conversion("WOAAnnual", "temperature")
     assert needs_teos10_conversion("EN4Monthly", "salinity")
+    assert needs_teos10_conversion("ECCO4Monthly", "temperature")
     assert not needs_teos10_conversion("ETOPO", "bottom_height")
     assert not needs_teos10_conversion("WOAAnnual", "sea_ice_thickness")
+    # only WOA is genuinely in-situ; ECCO/EN4/GLORYS are already potential
+    assert CATALOG["WOAAnnual"].convention == "insitu_practical"
+    for name in ("ECCO4Monthly", "ECCO2Daily", "EN4Monthly", "GLORYS"):
+        assert CATALOG[name].convention == "potential_practical", name
 
 
 def test_env_override(monkeypatch):
@@ -200,6 +205,12 @@ def test_en4_kelvin_conversion(tmp_path):
     tm = Metadatum("temperature", date=199301, dataset=EN4Monthly(),
                    dir=str(tmp_path))
     T_ing, *_ = load_native(tm)
-    # Kelvin recognized → ~10 °C after conversion (EN4 stores potential T,
-    # we treat it as in-situ; at these depths the difference is < 0.4 °C)
-    assert np.all(np.abs(T_ing - 10.0) < 0.5)
+    # Kelvin recognized, and EN4 stores POTENTIAL temperature — the
+    # `potential_practical` convention goes straight to ct_from_pt (no
+    # lapse-rate integration, no salinity companion → SP = 35), so the
+    # ingested value is exactly CT(SA(35), 10 °C) at EVERY depth
+    expect = conv.ct_from_pt(conv.sa_from_sp(35.0), 10.0)
+    assert np.allclose(T_ing, expect, atol=1e-9)
+    # depth-independence is the signature that the adiabatic correction
+    # was NOT applied twice (the in-situ pipeline would cool deep levels)
+    assert np.ptp(T_ing) < 1e-9

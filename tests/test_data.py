@@ -109,3 +109,33 @@ def test_diffuse_tracers():
     mask[:, H + 3:H + 6, H + 3:H + 6] = True
     out2 = diffuse_tracers(grid, {"T": T}, steps=5, mask=mask)["T"]
     np.testing.assert_array_equal(np.asarray(out2)[mask], np.asarray(T)[mask])
+
+
+def test_synthetic_fallback_warns_and_strict_raises(tmp_path):
+    """A missing dataset file falls back to the analytic proxy LOUDLY, and
+    strict mode turns the fallback into an error (VERDICT r2 weak #5)."""
+    import os
+    import warnings
+
+    import pytest
+
+    from climaocean_tpu.data.metadata import WOAAnnual, load_native
+
+    meta = Metadatum("temperature", dataset=WOAAnnual(), dir=str(tmp_path))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        data, *_ = load_native(meta)
+    assert data.ndim == 3
+    msgs = [str(w.message) for w in rec]
+    assert any("SYNTHETIC" in m and "WOAAnnual" in m for m in msgs), msgs
+
+    with pytest.raises(FileNotFoundError):
+        load_native(meta, strict=True)
+
+    # env-var spelling of strict mode
+    os.environ["CLIMAOCEAN_STRICT_DATA"] = "1"
+    try:
+        with pytest.raises(FileNotFoundError):
+            load_native(meta)
+    finally:
+        del os.environ["CLIMAOCEAN_STRICT_DATA"]

@@ -70,10 +70,10 @@ def test_flag_gate_full_divergence_parity(order, monkeypatch):
     grid, c, u, v = make_case(order, seed=1)
     w = diagnose_w(u, v, grid)
 
-    monkeypatch.setattr(tracer, "_PALLAS_WENO", False)
+    monkeypatch.setenv("CLIMAOCEAN_PALLAS_WENO", "0")
     ref = jax.jit(lambda: tracer.tracer_flux_divergence(c, u, v, w, grid,
                                                         order))()
-    monkeypatch.setattr(tracer, "_PALLAS_WENO", True)
+    monkeypatch.setenv("CLIMAOCEAN_PALLAS_WENO", "1")
     fused = jax.jit(lambda: tracer.tracer_flux_divergence(c, u, v, w, grid,
                                                           order))()
     wet = np.asarray(grid.interior(grid.wet_c)) > 0
