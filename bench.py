@@ -103,7 +103,7 @@ def main():
 
     steps_per_year = 365.0 * 86400.0 / dt
     sypd = 86400.0 / (steps_per_year * elapsed)
-    print(json.dumps({
+    out = {
         "metric": "SYPD_quarter_degree" if not small else "SYPD_quarter_degree_small",
         "value": round(sypd, 3),
         "unit": "sim_years/day",
@@ -111,7 +111,52 @@ def main():
         "ms_per_step": round(elapsed * 1e3, 2),
         "grid": [nx, ny, nz],
         "device": str(jax.devices()[0]),
-    }))
+    }
+
+    # Second metric (same JSON line): the BASELINE.md north-star companion
+    # "ms/step at 1°" — 1° tripolar coupled (EVP sea ice + CATKE + GM,
+    # Nz=60, Δt = 20 min), batched 8 steps/dispatch like production.
+    if not small and not os.environ.get("BENCH_SKIP_COUPLED"):
+        out["ms_per_step_one_degree_coupled"] = round(
+            bench_one_degree_coupled() * 1e3, 2)
+
+    print(json.dumps(out))
+
+
+def bench_one_degree_coupled(nsteps=8):
+    import jax
+    import jax.numpy as jnp
+
+    from climaocean_tpu.configurations.tripolar import one_degree_tripolar_ocean
+    from climaocean_tpu.models.coupled import (OceanSeaIceModel,
+                                               make_batched_step_fn)
+    from climaocean_tpu.models.sea_ice import (SeaIceModel,
+                                               default_ice_atmosphere_fluxes)
+    from climaocean_tpu.coupler.atmosphere import synthetic_prescribed_atmosphere
+
+    ocean, state_o = one_degree_tripolar_ocean(Nz=60, initialize=True)
+    grid = ocean.grid
+    ice = SeaIceModel(grid=grid, dynamics=True, substeps=100,
+                      atmosphere_fluxes=default_ice_atmosphere_fluxes())
+    atmos = synthetic_prescribed_atmosphere(grid, 0.0, 5 * 86400.0)
+    model = OceanSeaIceModel(ocean=ocean, atmosphere=atmos, sea_ice=ice,
+                             normalize_salinity=True)
+    state = model.initial_state()
+    state["ocean"] = state_o
+
+    step = make_batched_step_fn(model, donate=False)
+    dt = 1200.0
+    state = step(state, 0.0, dt, nsteps)           # compile + warmup
+    float(jnp.sum(state["ocean"]["T"]))            # flush (see warmup note)
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        state = step(state, (rep + 1) * nsteps * dt, dt, nsteps)
+        float(jnp.sum(state["ocean"]["T"]))
+        best = min(best, (time.perf_counter() - t0) / nsteps)
+    assert not bool(jnp.isnan(state["ocean"]["T"]).any()), \
+        "1-degree coupled bench produced NaNs"
+    return best
 
 
 if __name__ == "__main__":

@@ -253,10 +253,11 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
 
     step = make_coupled_step_fn(model, donate=False, prefetcher=prefetcher)
     if steps_per_dispatch is None:
-        # EVP substeps inside a multi-step scan are a 3-deep nesting that
-        # has hit TPU compile errors (ROUND_NOTES gap 4) — default batching
-        # on only for the no-ice workload; callers can force it
-        steps_per_dispatch = 1 if with_sea_ice else 8
+        # unconditional: the EVP-inside-multi-step-scan TPU InvalidArgument
+        # (ROUND_NOTES r1 gap 4) no longer reproduces — re-verified at the
+        # production shape (1° tripolar, Nz=60, EVP substeps=100, batch 8)
+        # on TPU v5 lite in round 3
+        steps_per_dispatch = 8
     from ..models.coupled import make_batched_step_fn
     sim = Simulation(lambda s, t, d: step(s, t, d), state, dt=dt,
                      stop_time=stop_time, stop_iteration=stop_iteration,

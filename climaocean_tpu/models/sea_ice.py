@@ -199,7 +199,8 @@ def slab_thermodynamics(model, ice, ocean_state, atmos, dt):
     # --- concentration (Hibler 1979) ---------------------------------------
     growth = jnp.maximum(h_new - h, 0.0)
     melt = jnp.maximum(h - h_new, 0.0)
-    da = (1.0 - a) * growth / H_NEW_ICE - 0.5 * a * melt / jnp.maximum(h, 0.05)
+    da = ((1.0 - a) * growth / H_NEW_ICE
+          - model.lateral_melt_fraction * a * melt / jnp.maximum(h, 0.05))
     a_new = jnp.clip((a + da) * wet, 0.0, 1.0)
     a_new = jnp.where(h_new > 1e-4, jnp.maximum(a_new, 1e-2), 0.0)
 
@@ -215,7 +216,7 @@ def slab_thermodynamics(model, ice, ocean_state, atmos, dt):
     # heat: ice-ocean flux + frazil heating; salt: brine rejection/melt water
     Q_T_ocean = (-Q_io / (RHO_OCEAN * CP_OCEAN)) + supercool * dz_top / dt
     dh_total = h_new - h
-    S_ice = 5.0                                        # bulk ice salinity g/kg
+    S_ice = model.ice_salinity                         # bulk ice salinity g/kg
     Q_S_ocean = (SSS - S_ice) * dh_total / dt * (RHO_ICE / RHO_OCEAN)
 
     new = dict(ice, thickness=h_new, concentration=a_new, snow=hs_new,
@@ -230,7 +231,13 @@ def slab_thermodynamics(model, ice, ocean_state, atmos, dt):
 # --------------------------------------------------------------------------
 
 def evp_dynamics(model, ice, ocean_state, atmos, dt):
-    """Hunke & Dukowicz (1997) EVP substepping of (u, v, σ)."""
+    """mEVP substepping of (u, v, σ) — Hunke & Dukowicz (1997) elastic
+    relaxation in the modified (α, β) form (Bouillon et al. 2013; Kimmritz
+    et al. 2015): per substep the stress relaxes toward the VP stress by
+    1/α and the momentum by 1/β with an explicit (uⁿ − u)/β memory of the
+    step-initial velocity, so stability depends on (α, β) only — the
+    substep count just sets pseudo-convergence. Ocean drag stays
+    semi-implicit in the new velocity."""
     grid = model.grid
     h = ice["thickness"]
     a = ice["concentration"]
@@ -262,8 +269,10 @@ def evp_dynamics(model, ice, ocean_state, atmos, dt):
     tau_ay = rho_a * Cd_ai * myf(Ua * va)
 
     Cd_io = 5.5e-3
-    dte = dt / model.substeps
-    T_damp = 0.25 * dt                                  # elastic damping scale
+    alpha = model.evp_alpha
+    beta = model.evp_beta
+    u_n = ice["u"]                      # step-initial velocity (mEVP memory)
+    v_n = ice["v"]
 
     def strain_rates(u, v):
         # normal strain rates at centers, shear at corners
@@ -282,15 +291,14 @@ def evp_dynamics(model, ice, ocean_state, atmos, dt):
         shear_c = mxyc(shear)
         Delta = jnp.sqrt(div ** 2 + (ten ** 2 + shear_c ** 2) / e2) + 1e-11
         zeta = P / (2.0 * Delta)
-        # EVP stress relaxation toward the VP stress
+        # mEVP stress relaxation toward the VP stress: σ ← σ + (σ_vp − σ)/α
         s1_vp = zeta * div - P / 2.0                    # σ1 = σ11+σ22 (/1)
         s2_vp = zeta * ten / e2
-        alpha = dte / T_damp
-        s1 = s1 + alpha * (s1_vp - s1)
-        s2 = s2 + alpha * (s2_vp - s2)
+        s1 = s1 + (s1_vp - s1) / alpha
+        s2 = s2 + (s2_vp - s2) / alpha
         zeta_ff = mxyf(zeta)
         s12_vp = zeta_ff * shear / (2.0 * e2)
-        s12 = s12 + alpha * (s12_vp - s12)
+        s12 = s12 + (s12_vp - s12) / alpha
 
         # divergence of stress -> force at u, v points
         # σ11 = (σ1+σ2)/2, σ22 = (σ1-σ2)/2
@@ -299,21 +307,31 @@ def evp_dynamics(model, ice, ocean_state, atmos, dt):
         fx = dxf(s11) / grid.dx_fc + dyc(s12) / grid.dy_fc
         fy = dyf(s22) / grid.dy_cf + dxc(s12) / grid.dx_cf
 
-        # ocean stress, semi-implicit in the ice velocity:
-        # τ = ρ₀ C_io |u_i − u_o| (u_o − u_i)
-        du = u - mxf(uo)
-        dv = v - myf(vo)
-        tau_ox = RHO_OCEAN * Cd_io * jnp.sqrt(du ** 2 + 1e-4)   # drag coeff [kg/m²/s]
-        tau_oy = RHO_OCEAN * Cd_io * jnp.sqrt(dv ** 2 + 1e-4)
+        # ocean drag coefficient ρ₀ C_io |u_i − u_o| with the full relative
+        # SPEED (both components interpolated to the staggered point);
+        # semi-implicit in the new velocity
+        du_u = u - mxf(uo)
+        dv_c = myc(v) - myc(myf(vo))
+        du_c = mxc(u) - mxc(mxf(uo))
+        dv_v = v - myf(vo)
+        sp_u = jnp.sqrt(du_u ** 2 + mxf(dv_c) ** 2 + 1e-4)
+        sp_v = jnp.sqrt(dv_v ** 2 + myf(du_c) ** 2 + 1e-4)
+        tau_ox = RHO_OCEAN * Cd_io * sp_u              # drag coeff [kg/m²/s]
+        tau_oy = RHO_OCEAN * Cd_io * sp_v
 
+        # mEVP momentum: β(u⁺ − u) + (u⁺ − uⁿ) = Δt/m (F + τa + τo(u⁺)) + Δt f v
         m_u_s = jnp.maximum(m_u, 1.0)
         m_v_s = jnp.maximum(m_v, 1.0)
-        u_new = (u + dte / m_u_s * (fx + tau_ax + tau_ox * mxf(uo)
-                                    + m_u * f_u * mxf(myc(v)))) \
-            / (1.0 + dte * tau_ox / m_u_s)
-        v_new = (v + dte / m_v_s * (fy + tau_ay + tau_oy * myf(vo)
-                                    - m_v * f_v * myf(mxc(u)))) \
-            / (1.0 + dte * tau_oy / m_v_s)
+        cu = dt / m_u_s
+        cv = dt / m_v_s
+        u_new = (beta * u + u_n
+                 + cu * (fx + tau_ax + tau_ox * mxf(uo))
+                 + dt * f_u * mxf(myc(v))) \
+            / (beta + 1.0 + cu * tau_ox)
+        v_new = (beta * v + v_n
+                 + cv * (fy + tau_ay + tau_oy * myf(vo))
+                 - dt * f_v * myf(mxc(u))) \
+            / (beta + 1.0 + cv * tau_oy)
         # refill halos EVERY substep: the stencil contract (core.stencil)
         # only tolerates H substeps of roll wrap-around, but EVP runs
         # O(100); without per-substep fills, garbage crosses the periodic-x
@@ -332,33 +350,52 @@ def evp_dynamics(model, ice, ocean_state, atmos, dt):
                                           length=model.substeps)
 
     # ice-ocean stress from the final state (handed to the ocean; the
-    # ocean feels the opposite sign of the drag the ice feels)
-    tau_iox = RHO_OCEAN * Cd_io * jnp.sqrt((u - mxf(uo)) ** 2 + 1e-4) * (u - mxf(uo))
-    tau_ioy = RHO_OCEAN * Cd_io * jnp.sqrt((v - myf(vo)) ** 2 + 1e-4) * (v - myf(vo))
+    # ocean feels the opposite sign of the drag the ice feels) — same
+    # full-relative-speed drag law as inside the loop
+    du_u = u - mxf(uo)
+    dv_v = v - myf(vo)
+    sp_u = jnp.sqrt(du_u ** 2 + mxf(myc(v) - myc(myf(vo))) ** 2 + 1e-4)
+    sp_v = jnp.sqrt(dv_v ** 2 + myf(mxc(u) - mxc(mxf(uo))) ** 2 + 1e-4)
+    tau_iox = RHO_OCEAN * Cd_io * sp_u * du_u
+    tau_ioy = RHO_OCEAN * Cd_io * sp_v * dv_v
     return dict(ice, u=u, v=v, sigma1=s1, sigma2=s2, sigma12=s12), \
         tau_iox, tau_ioy
 
 
 def advect_ice(model, ice, dt):
-    """Upwind (donor-cell) advection of h, ℵ, hs by the ice velocity —
-    positivity-preserving, the standard choice for ice area/volume."""
+    """Advection of h, ℵ, hs by the ice velocity: WENO(order=7,
+    NormalDivision) flux-form reconstruction, matching the reference's
+    sea-ice advection scheme (`omip_simulation.jl:629` — far sharper ice
+    edges than donor-cell at any resolution), with positivity clipping.
+    ``advection_order=1`` selects donor-cell (strictly monotone). The
+    three fields advect as one batch (leading axis broadcasts through the
+    stencils — one reconstruction graph)."""
+    from ..advection.weno import weno_upwind
+    from ..core.stencil import X, Y, shift_n
+
     grid = model.grid
     u, v = ice["u"], ice["v"]
+    wet2 = grid.wet_c[-1]
     wet_u = grid.wet_u[-1]
     wet_v = grid.wet_v[-1]
+    order = model.advection_order
 
-    def upwind(c):
-        cx = jnp.where(u >= 0, jnp.roll(c, 1, -1), c)
-        cy = jnp.where(v >= 0, jnp.roll(c, 1, -2), c)
-        qx = grid.dy_fc * u * wet_u * cx
-        qy = grid.dx_cf * v * wet_v * cy
-        return c - dt * (dxc(qx) + dyc(qy)) / grid.az_cc
+    names = ("thickness", "concentration", "snow")
+    c = jnp.stack([ice[k] for k in names])          # (3, Nyp, Nxp)
+    if order > 1:
+        cx = weno_upwind(c, u, X, order, wet2, weights=model.advection_weights)
+        cy = weno_upwind(c, v, Y, order, wet2, weights=model.advection_weights)
+    else:
+        cx = jnp.where(u >= 0, shift_n(c, X, -1), c)
+        cy = jnp.where(v >= 0, shift_n(c, Y, -1), c)
+    qx = grid.dy_fc * u * wet_u * cx
+    qy = grid.dx_cf * v * wet_v * cy
+    c_new = c - dt * (dxc(qx) + dyc(qy)) / grid.az_cc
 
+    caps = (20.0, 1.0, 5.0)
     out = dict(ice)
-    for k in ("thickness", "concentration", "snow"):
-        out[k] = jnp.clip(upwind(ice[k]) * grid.wet_c[-1], 0.0,
-                          20.0 if k == "thickness" else
-                          (1.0 if k == "concentration" else 5.0))
+    for i, (k, cap) in enumerate(zip(names, caps)):
+        out[k] = jnp.clip(c_new[i] * wet2, 0.0, cap)
     return out
 
 

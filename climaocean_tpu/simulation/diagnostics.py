@@ -48,12 +48,25 @@ def surface_diagnostics(grid, state):
         out["wfo"] = nf["Q_S"]
         out["hfss"] = nf.get("sensible_heat", jnp.zeros_like(out["tos"]))
         out["hfls"] = nf.get("latent_heat", jnp.zeros_like(out["tos"]))
+        # the 6 coupler flux decompositions (reference surface writer,
+        # `omip_diagnostics.jl:135-150` / flux accessors :84-89): JTn/JSn
+        # are the net ocean T/S fluxes; JTao the open-water share, JTio/JSio
+        # the under-ice share, JTf the column-frazil heat release
+        out["JTn"] = nf["Q_T"]
+        out["JSn"] = nf["Q_S"]
+        if "frazil_temperature_flux" in nf:
+            out["JTf"] = nf["frazil_temperature_flux"]
+            out["JTio"] = nf["sea_ice_ocean_temperature_flux"]
+            out["JTao"] = nf["atmosphere_ocean_temperature_flux"]
+            out["JSio"] = nf["sea_ice_ocean_salinity_flux"]
     if "sea_ice" in state:
         ice = state["sea_ice"]
         out["siconc"] = ice["concentration"]
         out["sithick"] = ice["thickness"]
         out["siu"] = ice["u"]
         out["siv"] = ice["v"]
+        out["sitemptop"] = ice["Ts"]               # omip_diagnostics.jl:139
+        out["sisnthick"] = ice["snow"]
     out["mlotst"] = mixed_layer_depth(grid, ocean)
     return out
 
