@@ -64,6 +64,7 @@ from .configurations.sea_ice import (half_degree_tripolar_sea_ice,
 from .configurations.orca import ORCAGrid, orca_ocean
 from .configurations.omip import omip_closure, omip_simulation
 from .data.restoring import (DatasetRestoring, SurfaceFluxRestoring,
+                             TimeVaryingDatasetRestoring, dataset_restoring,
                              woa_salinity_restoring)
 from .closures.gm_redi import IsopycnalSkewSymmetricDiffusivity
 from .closures.kpp import KPPVerticalDiffusivity

@@ -45,6 +45,12 @@ class ClosureAux(NamedTuple):
     fluxes: object          # the SurfaceFluxes named tuple (into-ocean signs)
     alpha: jnp.ndarray      # surface thermal expansion (Nyp, Nxp)
     beta: jnp.ndarray       # surface haline contraction (Nyp, Nxp)
+    # absolute model time [s] at the START of the step (stages reuse it —
+    # restoring/forcing targets vary on monthly scales, a Δt is immaterial).
+    # Enables time-dependent forcings (`DatasetRestoring` toward a monthly
+    # series, reference `DatasetRestoring(metadata; rate,
+    # time_indices_in_memory)`).
+    t: object = 0.0
 
 
 def sum_diffusivities(closures, grid, fields, aux):

@@ -179,11 +179,21 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
                     forcing_end_time=None, forcing_dir=None, staging_dir=None,
                     time_indices_in_memory=240, repeat_year=False,
                     progress_interval=10, Nz=None, steps_per_dispatch=None,
-                    **config_kw):
+                    partition=None, diagnostics_kw=None, **config_kw):
     """Reference `omip_simulation` (`omip_simulation.jl:292-403`): build the
     coupled OMIP simulation for a named grid configuration. Returns a
     `Simulation` with progress (+STATE_HASH) callback and, when
-    ``diagnostics=True``, the OMIP writers attached."""
+    ``diagnostics=True``, the OMIP writers attached.
+
+    ``partition=(Py, Px)`` runs the FULL protocol distributed — the
+    reference's `omip_simulation(...; arch=Distributed(GPU(),
+    partition=Partition(Rx, Ry)))` production composition (`launch.sh:165`
+    Partition(1,4), `pbs_launch.sh:51,71` Partition(1,8)): the coupled step
+    (and its dispatch batching) runs under `shard_map` with ppermute halo
+    exchange over a (Py, Px) ('y','x') device mesh; writers, checkpointing
+    (+`pickup`), progress, staging, and the forcing prefetcher all operate
+    on the global state through a `GlobalStateView` (unpartition at fire
+    time, rank-0 writes)."""
     import jax.numpy as jnp
 
     name = str(config).lstrip(":")
@@ -251,19 +261,38 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
             thickness=Metadatum("sea_ice_thickness", dataset=ECCO4Monthly()),
             concentration=Metadatum("sea_ice_concentration", dataset=ECCO4Monthly()))
 
-    step = make_coupled_step_fn(model, donate=False, prefetcher=prefetcher)
     if steps_per_dispatch is None:
         # unconditional: the EVP-inside-multi-step-scan TPU InvalidArgument
         # (ROUND_NOTES r1 gap 4) no longer reproduces — re-verified at the
         # production shape (1° tripolar, Nz=60, EVP substeps=100, batch 8)
         # on TPU v5 lite in round 3
         steps_per_dispatch = 8
-    from ..models.coupled import make_batched_step_fn
-    sim = Simulation(lambda s, t, d: step(s, t, d), state, dt=dt,
-                     stop_time=stop_time, stop_iteration=stop_iteration,
-                     multi_step_fn=make_batched_step_fn(
-                         model, donate=False, prefetcher=prefetcher),
-                     batch_size=steps_per_dispatch)
+    if partition is not None:
+        import jax
+        from ..parallel.mesh import make_mesh
+        from ..parallel.shard import make_sharded_batched_step_fn
+        from ..simulation.simulation import GlobalStateView
+        py, px = partition
+        mesh = make_mesh(shape=(py, px), devices=jax.devices()[:py * px])
+        batched, part, unpart = make_sharded_batched_step_fn(
+            model, mesh, donate=False, prefetcher=prefetcher)
+        sim = Simulation(lambda s, t, d: batched(s, t, d, 1), part(state),
+                         dt=dt, stop_time=stop_time,
+                         stop_iteration=stop_iteration,
+                         multi_step_fn=batched,
+                         batch_size=steps_per_dispatch)
+        sim.callback_view = GlobalStateView(sim, unpart)
+        sim._partition_state = part
+        sim.mesh = mesh
+    else:
+        step = make_coupled_step_fn(model, donate=False,
+                                    prefetcher=prefetcher)
+        from ..models.coupled import make_batched_step_fn
+        sim = Simulation(lambda s, t, d: step(s, t, d), state, dt=dt,
+                         stop_time=stop_time, stop_iteration=stop_iteration,
+                         multi_step_fn=make_batched_step_fn(
+                             model, donate=False, prefetcher=prefetcher),
+                         batch_size=steps_per_dispatch)
     sim.prefetcher = prefetcher
     sim.add_callback(omip_progress_callback(grid),
                      IterationInterval(progress_interval), name="progress")
@@ -272,7 +301,8 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
                          name="jra55_staging")
         staging_cb(sim)          # prime current + next year at startup
     if diagnostics:
-        add_omip_diagnostics(sim, grid, dir=output_dir)
+        add_omip_diagnostics(sim, grid, dir=output_dir,
+                             **(diagnostics_kw or {}))
     sim.model = model
     return sim
 

@@ -51,6 +51,79 @@ class DatasetRestoring:
         return {self.tracer: self.rate * (self.target - c) * grid.wet_c}
 
 
+@partial(jax.tree_util.register_dataclass, data_fields=["targets", "times"],
+         meta_fields=["rate", "tracer", "period", "metadata"])
+@dataclass(frozen=True)
+class TimeVaryingDatasetRestoring:
+    """Interior nudging toward a TIME-INTERPOLATED dataset series — the
+    reference's `DatasetRestoring(metadata, arch; rate,
+    time_indices_in_memory)` (SURVEY.md §2b DataWrangling row): e.g. a WOA
+    monthly climatology. The bracketing-slab interpolation runs ON DEVICE
+    inside the jitted step (same searchsorted+take pattern as
+    `PrescribedAtmosphere.at_time`), keyed on the absolute model time
+    carried in `ClosureAux.t`.
+
+    ``targets``: (n_times, Nz, Nyp, Nxp) padded device window;
+    ``times``: (n_times,) seconds — the window is the device-resident
+    `time_indices_in_memory` slice of the full series and can be rotated
+    host-side (swap the data leaves; same shapes → jit cache hit), exactly
+    the atmosphere-prefetcher pattern. ``period`` wraps time for
+    climatological (repeat-year) series; ``metadata`` keeps the series
+    address for host-side refresh (`refreshed`)."""
+    targets: jnp.ndarray
+    times: jnp.ndarray
+    rate: float = 1.0 / (30 * days)
+    tracer: str = "T"
+    period: object = None               # e.g. 365*86400 for a climatology
+    metadata: object = None
+
+    def initial_prognostics(self, grid):
+        return {}
+
+    def diffusivities(self, grid, fields, aux):
+        return None
+
+    def target_at(self, t):
+        tt = jnp.asarray(t, dtype=self.times.dtype)
+        if self.period is not None:
+            tt = jnp.mod(tt, jnp.asarray(self.period, self.times.dtype))
+        n = self.times.shape[0]
+        i1 = jnp.clip(jnp.searchsorted(self.times, tt), 1, n - 1)
+        i0 = i1 - 1
+        t0 = jnp.take(self.times, i0)
+        t1 = jnp.take(self.times, i1)
+        w = jnp.clip((tt - t0) / jnp.maximum(t1 - t0, 1e-6), 0.0, 1.0)
+        return ((1.0 - w) * jnp.take(self.targets, i0, axis=0)
+                + w * jnp.take(self.targets, i1, axis=0))
+
+    def horizontal_tendencies(self, grid, fields, aux):
+        c = fields[self.tracer]
+        target = self.target_at(getattr(aux, "t", 0.0))
+        return {self.tracer: self.rate * (target - c) * grid.wet_c}
+
+    def refreshed(self, t):
+        """Host-side window rotation: reload the window around ``t`` from
+        the series loader (no-op when ``t`` is inside the current window,
+        or when the restoring was built from raw arrays). Returns a new
+        restoring with the SAME shapes, so the jitted step's cache hits —
+        the atmosphere-prefetcher pattern applied to restoring."""
+        if self.metadata is None:
+            return self
+        tt = float(t) % float(self.period) if self.period else float(t)
+        lo, hi = float(self.times[0]), float(self.times[-1])
+        if lo <= tt <= hi:
+            return self
+        import dataclasses as _dc
+        ldr = self.metadata
+        n = self.targets.shape[0]
+        i1 = int(np.clip(np.searchsorted(ldr.times, tt), 1, len(ldr.times) - 1))
+        i0 = max(0, min(i1 - 1, len(ldr.times) - n))
+        sel = list(range(i0, i0 + n))
+        return _dc.replace(
+            self, targets=ldr.load(sel),
+            times=jnp.asarray(ldr.times[sel].astype(np.float32)))
+
+
 @partial(jax.tree_util.register_dataclass, data_fields=["target_surface"],
          meta_fields=["piston_velocity", "tracer"])
 @dataclass(frozen=True)
@@ -80,6 +153,71 @@ class SurfaceFluxRestoring:
         tend = jnp.zeros_like(fields[self.tracer])
         tend = tend.at[-1].set(flux / dz_top * grid.wet_c[-1])
         return {self.tracer: tend}
+
+
+class _SeriesLoader:
+    """Host-side address of a dataset time series regridded to one model
+    grid (kept as a `TimeVaryingDatasetRestoring` meta field — hashable by
+    identity, stable within a process)."""
+
+    def __init__(self, metadata, grid, dates, times):
+        self.metadata = metadata
+        self.grid = grid
+        self.dates = list(dates)
+        self.times = np.asarray(times, np.float64)
+
+    def load(self, indices):
+        from .metadata import Metadatum, regrid_to_grid
+
+        grid = self.grid
+        H = grid.H
+        slabs = []
+        for i in indices:
+            meta = Metadatum(self.metadata.name, self.dates[i],
+                             self.metadata.dataset, self.metadata.dir)
+            interior = regrid_to_grid(meta, grid)
+            padded = np.zeros((grid.Nz, grid.Nyp, grid.Nxp), np.float32)
+            padded[:, H:H + grid.Ny, H:H + grid.Nx] = interior
+            slabs.append(padded)
+        return jnp.asarray(np.stack(slabs))
+
+
+def _series_times(dates):
+    """(times_seconds, period) for a date list: bare months 1..12 map to
+    mid-month offsets of a 365-day climatological year (period wraps);
+    YYYYMM-style dates map to mid-month offsets from the first year
+    (period=None)."""
+    month_len = 365.0 * 86400.0 / 12.0
+    as_ints = [int(d) for d in dates]
+    if all(1 <= d <= 12 for d in as_ints):
+        return np.array([(d - 0.5) * month_len for d in as_ints]), 365.0 * 86400.0
+    from .catalog import _date_parts
+    y0 = _date_parts(dates[0])[0]
+    t = [((y - y0) * 12 + (m - 1) + 0.5) * month_len
+         for (y, m, _) in map(_date_parts, dates)]
+    return np.array(t), None
+
+
+def dataset_restoring(grid, metadata, rate=1.0 / (30 * days),
+                      time_indices_in_memory=None, tracer=None):
+    """Reference `DatasetRestoring(metadata, arch; rate,
+    time_indices_in_memory)`: interior nudging toward the time-interpolated
+    series addressed by a `Metadata` date range (e.g. WOAMonthly months
+    1..12 → repeat-year climatology). Only ``time_indices_in_memory``
+    slabs live on device; `refreshed(t)` rotates the window host-side."""
+    dates = list(metadata.dates)
+    if not dates:
+        raise ValueError("dataset_restoring needs a Metadata date range")
+    times, period = _series_times(dates)
+    loader = _SeriesLoader(metadata, grid, dates, times)
+    n = min(time_indices_in_memory or len(dates), len(dates))
+    tracer = tracer or {"temperature": "T", "salinity": "S"}.get(
+        metadata.name, "T")
+    return TimeVaryingDatasetRestoring(
+        targets=loader.load(list(range(n))),
+        times=jnp.asarray(times[:n].astype(np.float32)),
+        rate=rate, tracer=tracer, period=period,
+        metadata=loader if n < len(dates) else None)
 
 
 def woa_salinity_restoring(grid, piston_velocity=0.5, dir="."):

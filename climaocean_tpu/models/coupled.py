@@ -107,8 +107,14 @@ def atmosphere_ocean_fluxes(model, atmos, ocean_state):
     return fluxes, diags
 
 
-def coupled_step(model, state, t, dt):
-    """One coupled time step (SURVEY.md §3.2 ordering)."""
+def coupled_step(model, state, t, dt, t_offset=0.0):
+    """One coupled time step (SURVEY.md §3.2 ordering).
+
+    ``t`` is window-relative when a prefetcher serves the atmosphere
+    (float32 precision over multi-century runs); ``t_offset`` restores the
+    ABSOLUTE model time ``t + t_offset`` for time-dependent ocean forcings
+    (`DatasetRestoring` toward a monthly series — monthly-scale targets
+    tolerate f32 absolute-seconds resolution, ~17 min at year 300)."""
     atmos = model.atmosphere.at_time(t)
     ocean_state = state["ocean"]
     fluxes, diags = atmosphere_ocean_fluxes(model, atmos, ocean_state)
@@ -145,7 +151,8 @@ def coupled_step(model, state, t, dt):
         mean_QS = global_sum(fluxes.Q_S * grid0.az_cc * wet2) / area
         fluxes = fluxes._replace(Q_S=fluxes.Q_S - mean_QS)
 
-    ocean_new = hyd.step(model.ocean, ocean_state, fluxes, dt)
+    ocean_new = hyd.step(model.ocean, ocean_state, fluxes, dt,
+                         t=t + t_offset)
     # minimum-salinity clamp (omip_simulation.jl ocean_minimum_salinity = 1)
     ocean_new["S"] = jnp.maximum(ocean_new["S"], model.ocean_minimum_salinity
                                  * model.ocean.grid.wet_c)
@@ -197,13 +204,13 @@ def _jit_multi_step(n_steps, donate):
     coupled steps in one `lax.scan` dispatch — amortizes host dispatch
     latency (large over the tunneled-TPU transport) and lets XLA overlap
     steps."""
-    def multi(model, state, t0, dt):
+    def multi(model, state, t0, dt, t_offset=0.0):
         # first step outside the scan: it adds the net-flux diagnostics to
         # the state, and the scan carry must have a fixed structure
-        state = coupled_step(model, state, t0, dt)
+        state = coupled_step(model, state, t0, dt, t_offset)
 
         def body(s, i):
-            return coupled_step(model, s, t0 + i * dt, dt), None
+            return coupled_step(model, s, t0 + i * dt, dt, t_offset), None
 
         out, _ = jax.lax.scan(body, state,
                               jnp.arange(1, n_steps, dtype=jnp.float32))
@@ -232,7 +239,7 @@ def make_multi_step_fn(model, n_steps, donate=False, prefetcher=None):
     def f(state, t0, dt):
         m, t_eff = (model, t0) if prefetcher is None else \
             _with_window(model, prefetcher, t0, t0 + n_steps * dt)
-        return jitted(m, state, t_eff, dt)
+        return jitted(m, state, t_eff, dt, t0 - t_eff)
 
     return f
 
@@ -250,7 +257,7 @@ def make_batched_step_fn(model, donate=False, prefetcher=None):
             fn = cache.setdefault(n, _jit_multi_step(n, donate))
         m, t_eff = (model, t) if prefetcher is None else \
             _with_window(model, prefetcher, t, t + n * dt)
-        return fn(m, state, t_eff, dt)
+        return fn(m, state, t_eff, dt, t - t_eff)
 
     return f
 
@@ -267,6 +274,6 @@ def make_coupled_step_fn(model, donate=False, prefetcher=None):
     def f(state, t, dt):
         m, t_eff = (model, t) if prefetcher is None else \
             _with_window(model, prefetcher, t, t + dt)
-        return jitted(m, state, t_eff, dt)
+        return jitted(m, state, t_eff, dt, t - t_eff)
 
     return f

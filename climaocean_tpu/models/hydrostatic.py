@@ -193,7 +193,7 @@ def diagnose_w(u, v, grid, dzc3=None):
     return w * grid.wet_w
 
 
-def closure_aux(model, state, fluxes):
+def closure_aux(model, state, fluxes, t=0.0):
     """Shared diagnostics for the closures (buoyancy, N², S², u★, Qb).
 
     N² is *locally referenced*: both cells adjacent to an interface are
@@ -234,7 +234,7 @@ def closure_aux(model, state, fluxes):
     Qb = model.g * (alpha * (fluxes.Q_T + fluxes.Q_sw) - beta * fluxes.Q_S)
 
     return ClosureAux(b=b, N2=N2, S2=S2, u_star=u_star, Qb=Qb,
-                      fluxes=fluxes, alpha=alpha, beta=beta), b
+                      fluxes=fluxes, alpha=alpha, beta=beta, t=t), b
 
 
 def shortwave_tendency(Q_sw, grid):
@@ -322,7 +322,7 @@ def tracer_advection_tendency(model, state_f, averaged, dt=None):
                                    u_adv, v_adv, w_adv, sigma, dzc3, dt=dt)
 
 
-def tendencies(model, state, fluxes, tracer_advection=True, dt=None):
+def tendencies(model, state, fluxes, tracer_advection=True, dt=None, t=0.0):
     """Explicit tendencies for u, v, T, S (barotropic η-gradient excluded —
     it lives in the substepped 2-D mode). With z★ the returned tracer
     tendencies are THICKNESS-WEIGHTED: G_c = ∂t(σ c).
@@ -344,7 +344,7 @@ def tendencies(model, state, fluxes, tracer_advection=True, dt=None):
     dzc3 = None if sigma is None else sigma[None] * grid.dz_c[:, None, None]
 
     w = diagnose_w(u, v, grid, dzc3)
-    aux, b = closure_aux(model, state, fluxes)
+    aux, b = closure_aux(model, state, fluxes, t=t)
 
     # --- momentum: vorticity + KE + vertical advection + Coriolis ----------
     f_ff = coriolis_ff(grid, model.rotation_rate)
@@ -467,14 +467,16 @@ def implicit_vertical_step(model, state, aux, dt, w_impl=None):
     return out
 
 
-def rk3_substage(model, state0, state_prev, fluxes, dt_stage, substeps):
+def rk3_substage(model, state0, state_prev, fluxes, dt_stage, substeps,
+                 t=0.0):
     """One SplitRungeKutta3 stage: explicit update from ``state0`` with
     tendencies at ``state_prev``, barotropic substepping, correction,
     implicit vertical mixing."""
     grid = model.grid
     roms = model.roms_ordering()
     G, aux, state_prev = tendencies(model, state_prev, fluxes,
-                                    tracer_advection=not roms, dt=dt_stage)
+                                    tracer_advection=not roms, dt=dt_stage,
+                                    t=t)
     w_impl = G.pop("_w_impl", None)
 
     # barotropic forcing: depth-integral of the slow momentum tendencies
@@ -520,7 +522,7 @@ def rk3_substage(model, state0, state_prev, fluxes, dt_stage, substeps):
     return new
 
 
-def ab2_step(model, state, fluxes, dt):
+def ab2_step(model, state, fluxes, dt, t=0.0):
     """Quasi-Adams-Bashforth-2 step (Oceananigans' default timestepper
     family): uⁿ⁺¹ = uⁿ + Δt[(1.5+χ)Gⁿ − (0.5+χ)Gⁿ⁻¹], ONE tendency
     evaluation per step. Gⁿ⁻¹ is carried in the state (zero on the first
@@ -530,7 +532,7 @@ def ab2_step(model, state, fluxes, dt):
     chi = model.ab2_chi
     roms = model.roms_ordering()
     G, aux, state_f = tendencies(model, state, fluxes,
-                                 tracer_advection=not roms, dt=dt)
+                                 tracer_advection=not roms, dt=dt, t=t)
     w_impl = G.pop("_w_impl", None)
     Gp = state.get("G_prev")
     first = state.get("ab2_first", jnp.ones(()))
@@ -588,11 +590,14 @@ def ab2_step(model, state, fluxes, dt):
     return new
 
 
-def step(model, state, fluxes, dt):
+def step(model, state, fluxes, dt, t=0.0):
     """One full time step. timestepper="QuasiAdamsBashforth2" dispatches to
     `ab2_step`; default is SplitRungeKutta3 (reference `:SplitRungeKutta3`,
     `omip_simulation.jl:604`): u¹ = uⁿ + Δt/3 G(uⁿ); u² = uⁿ + Δt/2 G(u¹);
     uⁿ⁺¹ = uⁿ + Δt G(u²).
+
+    ``t``: absolute model time [s] at step start, handed to time-dependent
+    closures/forcings through `ClosureAux.t`.
 
     stage_mode="unrolled": stages unroll in Python with per-stage prorated
     barotropic substeps ceil(γ·substeps) like the reference (~40% less 2-D
@@ -600,19 +605,19 @@ def step(model, state, fluxes, dt):
     equal substeps — 3x smaller serialized HLO (remote-compile limits) and
     faster compiles."""
     if model.timestepper == "QuasiAdamsBashforth2":
-        return ab2_step(model, state, fluxes, dt)
+        return ab2_step(model, state, fluxes, dt, t=t)
     if model.stage_mode == "unrolled":
         s = state
         for gamma in model.rk3_gammas:
             nsub = max(4, int(-(-model.substeps * gamma // 1)))
-            s = rk3_substage(model, state, s, fluxes, gamma * dt, nsub)
+            s = rk3_substage(model, state, s, fluxes, gamma * dt, nsub, t=t)
         return s
 
     gammas = jnp.asarray(model.rk3_gammas, dtype=state["eta"].dtype)
 
     def stage_body(s_prev, gamma):
         s = rk3_substage(model, state, s_prev, fluxes, gamma * dt,
-                         model.substeps)
+                         model.substeps, t=t)
         return s, None
 
     s, _ = jax.lax.scan(stage_body, state, gammas)

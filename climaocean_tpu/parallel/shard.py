@@ -299,21 +299,24 @@ def make_sharded_step_fn(model, mesh: Mesh, donate=False):
     return step_fn, partition, unpartition
 
 
-def make_sharded_coupled_step_fn(model, mesh: Mesh, donate=False):
-    """Jitted FULL coupled step (atmosphere time-interp → bulk fluxes → EVP
-    sea ice → ocean) under `shard_map` with ppermute halo exchange.
+def _coupled_shard_builder(model, mesh: Mesh, donate=False, prefetcher=None):
+    """Shared machinery for the sharded coupled step: returns
+    ``(run_for(n_steps) -> jitted, resolve_model(t, t_end) ->
+    (model_stacked, t_rel), partition, unpartition)``.
 
     Everything inside `coupled_step` is either pointwise (flux solvers,
     radiation, thermodynamics, time interpolation) or reaches halos through
-    `core.halo.fill_halos` (ocean tendencies/barotropic substeps; the sea-ice
-    step's entry/per-EVP-substep fills), so overriding the fill with the
-    ppermute exchange distributes the whole step — every EVP substep and
-    every barotropic substep does one ICI halo exchange, like the reference's
+    `core.halo.fill_halos` (ocean tendencies/barotropic substeps; the
+    sea-ice step's entry/per-EVP-substep fills), so overriding the fill
+    with the ppermute exchange distributes the whole step — every EVP and
+    barotropic substep does one ICI halo exchange, like the reference's
     MPI `fill_halo_regions!` inside its substep loops.
 
-    Returns (step_fn, partition_fn, unpartition_fn) with
-    ``step_fn(state_stacked, t, dt) -> state_stacked``. Tripolar grids ride
-    the fold ppermute in `halo_exchange` (see `_fold_params`).
+    With a ``prefetcher``, the atmosphere window is swapped per dispatch —
+    partitioned into tiles on swap (a host-side cost paid once per window
+    rotation, ~monthly) — and time runs window-relative with the absolute
+    offset threaded through `coupled_step(t_offset=...)`, exactly like the
+    single-device `make_batched_step_fn`.
     """
     import dataclasses
 
@@ -331,6 +334,21 @@ def make_sharded_coupled_step_fn(model, mesh: Mesh, donate=False):
     fold = _fold_params(grid, px)
 
     model_stacked = partition_tree(model, grid, py, px)
+    window_cache = {"id": None, "stacked": model_stacked, "t_ref": 0.0}
+
+    def resolve_model(t, t_end):
+        """(model_stacked, t_relative) with the prefetcher window covering
+        [t, t_end] swapped in (same shapes every window → jit cache hits)."""
+        if prefetcher is None:
+            return model_stacked, t
+        win, t_ref = prefetcher.window_for(t, t_end)
+        if window_cache["id"] != id(win):
+            win_stacked = partition_tree(win, grid, py, px)
+            window_cache["id"] = id(win)
+            window_cache["stacked"] = dataclasses.replace(
+                model_stacked, atmosphere=win_stacked)
+            window_cache["t_ref"] = t_ref
+        return window_cache["stacked"], t - window_cache["t_ref"]
 
     def spec_for(a):
         return P(("y", "x")) if _is_stacked(a, nxp_loc) else P()
@@ -360,16 +378,6 @@ def make_sharded_coupled_step_fn(model, mesh: Mesh, donate=False):
     def _restack(a):
         return a[None] if (a.ndim >= 2 and a.shape[-1] == nxp_loc) else a
 
-    def step_local(model_tile, state_tile, t, dt):
-        from ..core.halo import sum_override
-
-        m = localize_grids(unstack(model_tile))
-        s = unstack(state_tile)
-        with halo_override(sharded_fill), \
-                sum_override(lambda x: jax.lax.psum(jnp.sum(x), ("y", "x"))):
-            out = cm.coupled_step(m, s, t, dt)
-        return jax.tree_util.tree_map(_restack, out)
-
     def _tile_sds(tree):
         """Per-tile ShapeDtypeStructs (device axis stripped) — coupled_step
         indexes leading axes positionally (T[-1] is the surface), so shape
@@ -381,23 +389,50 @@ def make_sharded_coupled_step_fn(model, mesh: Mesh, donate=False):
             return jax.ShapeDtypeStruct(shape, a.dtype)
         return jax.tree_util.tree_map(f, tree)
 
-    def run(model_s, state_s, t, dt):
-        in_specs = (jax.tree_util.tree_map(spec_for, model_s),
-                    jax.tree_util.tree_map(spec_for, state_s), P(), P())
-        # the output adds `net_fluxes` to the state on the first step —
-        # derive its structure abstractly (shapes only; the halo-fill
-        # indices seen by eval_shape are meaningless but shape-preserving)
-        out_sd = jax.eval_shape(
-            lambda m, s: cm.coupled_step(localize_grids(m), s, 0.0, 1.0),
-            _tile_sds(model_s), _tile_sds(state_s))
-        out_specs = jax.tree_util.tree_map(
-            lambda sd: P(("y", "x")) if (len(sd.shape) >= 2
-                                         and sd.shape[-1] == nxp_loc)
-            else P(), out_sd)
-        return shard_map(step_local, mesh=mesh, in_specs=in_specs,
-                        out_specs=out_specs)(model_s, state_s, t, dt)
+    def run_for(n_steps):
+        """Jitted ``(model_s, state_s, t, dt, t_offset) -> state_s``
+        advancing ``n_steps`` coupled steps in ONE shard_map dispatch (a
+        `lax.scan` inside the mapped body — dispatch batching composes with
+        the explicit halo exchange)."""
 
-    jitted = jax.jit(run, donate_argnums=(1,) if donate else ())
+        def step_local(model_tile, state_tile, t, dt, t_offset):
+            from ..core.halo import sum_override
+
+            m = localize_grids(unstack(model_tile))
+            s = unstack(state_tile)
+            with halo_override(sharded_fill), \
+                    sum_override(lambda x: jax.lax.psum(jnp.sum(x),
+                                                        ("y", "x"))):
+                # first step outside the scan: it adds the net-flux
+                # diagnostics, and the scan carry needs a fixed structure
+                s = cm.coupled_step(m, s, t, dt, t_offset)
+                if n_steps > 1:
+                    def body(carry, i):
+                        return cm.coupled_step(m, carry, t + i * dt, dt,
+                                               t_offset), None
+                    s, _ = jax.lax.scan(
+                        body, s, jnp.arange(1, n_steps, dtype=jnp.float32))
+            return jax.tree_util.tree_map(_restack, s)
+
+        def run(model_s, state_s, t, dt, t_offset):
+            in_specs = (jax.tree_util.tree_map(spec_for, model_s),
+                        jax.tree_util.tree_map(spec_for, state_s),
+                        P(), P(), P())
+            # the output adds `net_fluxes` to the state on the first step —
+            # derive its structure abstractly (shapes only; the halo-fill
+            # indices seen by eval_shape are meaningless but shape-preserving)
+            out_sd = jax.eval_shape(
+                lambda m, s: cm.coupled_step(localize_grids(m), s, 0.0, 1.0),
+                _tile_sds(model_s), _tile_sds(state_s))
+            out_specs = jax.tree_util.tree_map(
+                lambda sd: P(("y", "x")) if (len(sd.shape) >= 2
+                                             and sd.shape[-1] == nxp_loc)
+                else P(), out_sd)
+            return shard_map(step_local, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs)(model_s, state_s, t, dt,
+                                                  t_offset)
+
+        return jax.jit(run, donate_argnums=(1,) if donate else ())
 
     def partition(tree):
         return partition_tree(tree, grid, py, px)
@@ -407,7 +442,49 @@ def make_sharded_coupled_step_fn(model, mesh: Mesh, donate=False):
             lambda a: unpartition_array(a, grid, py, px)
             if _is_stacked(a, nxp_loc) else a, tree)
 
+    return run_for, resolve_model, partition, unpartition
+
+
+def make_sharded_coupled_step_fn(model, mesh: Mesh, donate=False,
+                                 prefetcher=None):
+    """Jitted FULL coupled step (atmosphere time-interp → bulk fluxes → EVP
+    sea ice → ocean) under `shard_map` with ppermute halo exchange.
+
+    Returns (step_fn, partition_fn, unpartition_fn) with
+    ``step_fn(state_stacked, t, dt) -> state_stacked``. Tripolar grids ride
+    the fold ppermute in `halo_exchange` (see `_fold_params`).
+    """
+    run_for, resolve_model, partition, unpartition = _coupled_shard_builder(
+        model, mesh, donate, prefetcher)
+    jitted = run_for(1)
+
     def step_fn(state_stacked, t, dt):
-        return jitted(model_stacked, state_stacked, t, dt)
+        m, t_eff = resolve_model(t, t + dt)
+        return jitted(m, state_stacked, t_eff, dt, t - t_eff)
 
     return step_fn, partition, unpartition
+
+
+def make_sharded_batched_step_fn(model, mesh: Mesh, donate=False,
+                                 prefetcher=None):
+    """``(state_stacked, t, dt, n) -> state_stacked`` — the distributed
+    counterpart of `models.coupled.make_batched_step_fn`: ``n`` coupled
+    steps per device dispatch as a `lax.scan` INSIDE the shard_map body,
+    jitted once per distinct ``n``. This is what lets the FULL OMIP
+    protocol (writers, checkpointing, prefetched forcing) run distributed
+    with the single-device dispatch amortization (reference: the
+    production launchers run `omip_simulation` under
+    `Distributed(GPU(), partition=Partition(Rx,Ry))`, `launch.sh:165`,
+    `pbs_launch.sh:51,71`)."""
+    run_for, resolve_model, partition, unpartition = _coupled_shard_builder(
+        model, mesh, donate, prefetcher)
+    cache = {}
+
+    def batched(state_stacked, t, dt, n):
+        fn = cache.get(n)
+        if fn is None:
+            fn = cache.setdefault(n, run_for(n))
+        m, t_eff = resolve_model(t, t + n * dt)
+        return fn(m, state_stacked, t_eff, dt, t - t_eff)
+
+    return batched, partition, unpartition

@@ -127,7 +127,11 @@ def pickup(sim, dir, prefix="checkpoint", which="latest"):
     if not path or not os.path.exists(path):
         return False
     state, it, t = read_checkpoint(path)
-    sim.state = state
+    # distributed runs: checkpoints hold the GLOBAL state (written through
+    # the `GlobalStateView`); re-partition into the tiled layout the step
+    # functions exchange
+    part = getattr(sim, "_partition_state", None)
+    sim.state = part(state) if part is not None else state
     sim.iteration = it
     sim.time = t
     return True

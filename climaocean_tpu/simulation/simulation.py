@@ -98,6 +98,14 @@ class Simulation:
         # (reference cost note: `launch.sh:368-373`; SURVEY.md §7 (g))
         self.multi_step_fn = multi_step_fn
         self.batch_size = max(1, int(batch_size))
+        # distribution hook: when set, callbacks and writers receive this
+        # object instead of the Simulation itself — a `GlobalStateView`
+        # presenting the unpartitioned state while `self.state` stays the
+        # stacked shard_map tiles the step functions exchange. `pickup`
+        # uses `_partition_state` (when set) to restore a global checkpoint
+        # into the tiled layout.
+        self.callback_view = None
+        self._partition_state = None
 
     def add_callback(self, func, schedule, name=""):
         self.callbacks.append(Callback(func, schedule, name))
@@ -169,13 +177,44 @@ class Simulation:
                 self.state = self.step_fn(self.state, self.time, self.dt)
             self.time += n * self.dt
             self.iteration += n
+            view = self.callback_view or self
             for cb in self.callbacks:
                 if cb.schedule.fires(self):
-                    cb.func(self)
+                    cb.func(view)
             for w in self.output_writers:
-                w.maybe_write(self)
+                w.maybe_write(view)
         jax.block_until_ready(self.state)
         self.running = False
+
+
+class GlobalStateView:
+    """Presents a Simulation whose ``.state`` is the UNPARTITIONED global
+    state — handed to writers/callbacks when the step runs on shard_map
+    tiles (`Simulation.callback_view`). The unpartition is lazy and cached
+    per iteration, so the 4 OMIP writers + progress callback pay for at
+    most one gather per fire boundary. Attribute reads/writes other than
+    ``state`` forward to the wrapped Simulation (callbacks may mutate
+    ``sim.dt`` / ``sim.stop_time`` as in the reference)."""
+
+    def __init__(self, sim, unpartition):
+        object.__setattr__(self, "_sim", sim)
+        object.__setattr__(self, "_unpartition", unpartition)
+        object.__setattr__(self, "_cache", (None, None))
+
+    @property
+    def state(self):
+        it = self._sim.iteration
+        cit, cs = object.__getattribute__(self, "_cache")
+        if cit != it:
+            cs = self._unpartition(self._sim.state)
+            object.__setattr__(self, "_cache", (it, cs))
+        return cs
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "_sim"), name)
+
+    def __setattr__(self, name, value):
+        setattr(object.__getattribute__(self, "_sim"), name, value)
 
 
 def nan_checker(fields=("T", "u")):
