@@ -194,8 +194,14 @@ def kinetic_energy():
     `ke_at_ccc` (`omip_diagnostics.jl:19-25`)."""
 
     def fn(grid, state):
+        from .halo import fill_halos
+
         o = state.get("ocean", state)
-        u2, v2 = o["u"] ** 2, o["v"] ** 2
+        # the ℑ rolls read one halo cell: refill first (the state's halos
+        # are scratch — stale after a step, zero after an unpartition)
+        u = fill_halos(o["u"], grid, "u", vector=True) * grid.wet_u
+        v = fill_halos(o["v"], grid, "v", vector=True) * grid.wet_v
+        u2, v2 = u ** 2, v ** 2
         u2c = 0.5 * (u2 + jnp.roll(u2, -1, axis=-1))
         v2c = 0.5 * (v2 + jnp.roll(v2, -1, axis=-2))
         return 0.5 * (u2c + v2c) * grid.wet_c

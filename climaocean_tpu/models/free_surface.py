@@ -76,19 +76,74 @@ def substep_barotropic(bt: BarotropicState, grid, GU, GV, dt_stage,
     with ``substeps`` forward-backward steps; return the window-averaged
     state (and the final instantaneous state for the next stage).
 
-    An unpadded fast path exists for non-folded grids (`jnp.roll` IS the
-    periodic-x exchange; bounded-y wraps read zero-masked wall faces) but
-    measured SLOWER end-to-end on the v5e target despite fewer ops, so it
-    is opt-in via CLIMAOCEAN_UNPADDED_BAROTROPIC=1. Tripolar grids always
-    use the padded path (the fold exchange is needed every substep).
+    On TPU, non-folded single-device grids route through the Pallas fused
+    window (`pallas_barotropic` — the ENTIRE substep loop in one kernel
+    with the 2-D state VMEM-resident; DESIGN.md lever 3) when it fits
+    VMEM; CLIMAOCEAN_PALLAS_BAROTROPIC=0/1 forces it off/on. Tripolar
+    grids and shard_map runs (halo override active — the per-substep
+    ppermute exchange can't live inside one kernel) use the padded XLA
+    path. An unpadded XLA path also exists (same interior-only semantics
+    as the kernel) — opt-in via CLIMAOCEAN_UNPADDED_BAROTROPIC=1, and the
+    kernel's parity reference in tests.
     """
     import os
-    if (not grid.kind.startswith("tripolar")
-            and os.environ.get("CLIMAOCEAN_UNPADDED_BAROTROPIC")):
-        return _substep_barotropic_unpadded(bt, grid, GU, GV, dt_stage,
-                                            substeps, g)
+    if not grid.kind.startswith("tripolar"):
+        from ..core.halo import _halo_override
+        env = os.environ.get("CLIMAOCEAN_PALLAS_BAROTROPIC")
+        from ..advection.tracer import _use_pallas
+        use = _use_pallas() if env is None else env not in ("", "0")
+        if use and _halo_override.get() is None:
+            from .pallas_barotropic import fits_vmem
+            if fits_vmem(grid.Ny, grid.Nx):
+                return _substep_barotropic_pallas(bt, grid, GU, GV,
+                                                  dt_stage, substeps, g)
+        if os.environ.get("CLIMAOCEAN_UNPADDED_BAROTROPIC"):
+            return _substep_barotropic_unpadded(bt, grid, GU, GV, dt_stage,
+                                                substeps, g)
     return _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
                                       fill_halos_2d, g, fill_U, fill_V)
+
+
+def _substep_barotropic_pallas(bt, grid, GU, GV, dt_stage, substeps, g):
+    """Coefficient folding + interior cut for the Pallas fused window
+    (`pallas_barotropic.barotropic_window_pallas`); embeds the results
+    back into the padded layout exactly like the unpadded path."""
+    from .pallas_barotropic import barotropic_window_pallas
+
+    H = grid.H
+
+    def cut(a):
+        return a[..., H:H + grid.Ny, H:H + grid.Nx]
+
+    H_c, H_u, H_v = column_depths(grid)
+    wet2_u = cut((H_u > 0).astype(bt.U.dtype))
+    wet2_v = cut((H_v > 0).astype(bt.V.dtype))
+    wet2_c = cut((H_c > 0).astype(bt.eta.dtype))
+
+    M = substeps
+    dtau = 2.0 * dt_stage / M
+    AU = -dtau * g * cut(H_u) / cut(grid.dx_fc) * wet2_u
+    BU = dtau * cut(GU) * wet2_u
+    AV = -dtau * g * cut(H_v) / cut(grid.dy_cf) * wet2_v
+    BV = dtau * cut(GV) * wet2_v
+    CU = cut(grid.dy_fc)
+    CV = cut(grid.dx_cf)
+    R = dtau * wet2_c / cut(grid.az_cc)
+
+    eta, U, V, eta_a, U_a, V_a, U_e, V_e = barotropic_window_pallas(
+        cut(bt.eta) * wet2_c, cut(bt.U) * wet2_u, cut(bt.V) * wet2_v,
+        AU, BU, AV, BV, CU, CV, R, M)
+
+    def embed(a, like):
+        return jnp.zeros_like(like).at[..., H:H + grid.Ny,
+                                       H:H + grid.Nx].set(a)
+
+    averaged = AveragedBarotropic(embed(eta_a, bt.eta), embed(U_a, bt.U),
+                                  embed(V_a, bt.V), embed(U_e, bt.U),
+                                  embed(V_e, bt.V))
+    final = BarotropicState(embed(eta, bt.eta), embed(U, bt.U),
+                            embed(V, bt.V))
+    return averaged, final
 
 
 def _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,

@@ -228,9 +228,11 @@ def add_omip_diagnostics(sim, grid, dir="output", prefix="omip",
                                       averaging=True,
                                       averaging_stride=stride_of(surface_schedule),
                                       file_splitting=file_splitting))
+    fields_splitting = None if file_splitting is None \
+        else max(1, file_splitting // 6)
     sim.add_output_writer(FieldWriter(field_diagnostics, grid, dir,
                                       prefix + "_fields", fields_schedule,
-                                      file_splitting=max(1, file_splitting // 6)))
+                                      file_splitting=fields_splitting))
     sim.add_output_writer(FieldWriter(scalar_diagnostics, grid, dir,
                                       prefix + "_scalars", scalars_schedule,
                                       averaging=True,
