@@ -71,7 +71,8 @@ def barotropic_divergence(U, V, grid):
 
 def substep_barotropic(bt: BarotropicState, grid, GU, GV, dt_stage,
                        substeps, fill_halos_2d, g=G_EARTH,
-                       fill_U=None, fill_V=None):
+                       fill_U=None, fill_V=None, need_eff=True,
+                       need_final=True):
     """Integrate the barotropic system over an extended window 2·dt_stage
     with ``substeps`` forward-backward steps; return the window-averaged
     state (and the final instantaneous state for the next stage).
@@ -94,9 +95,11 @@ def substep_barotropic(bt: BarotropicState, grid, GU, GV, dt_stage,
         use = _use_pallas() if env is None else env not in ("", "0")
         if use and _halo_override.get() is None:
             from .pallas_barotropic import fits_vmem
-            if fits_vmem(grid.Ny, grid.Nx):
-                return _substep_barotropic_pallas(bt, grid, GU, GV,
-                                                  dt_stage, substeps, g)
+            if fits_vmem(grid.Ny, grid.Nx, with_eff=need_eff,
+                         with_final=need_final):
+                return _substep_barotropic_pallas(
+                    bt, grid, GU, GV, dt_stage, substeps, g,
+                    need_eff=need_eff, need_final=need_final)
         if os.environ.get("CLIMAOCEAN_UNPADDED_BAROTROPIC"):
             return _substep_barotropic_unpadded(bt, grid, GU, GV, dt_stage,
                                                 substeps, g)
@@ -104,10 +107,13 @@ def substep_barotropic(bt: BarotropicState, grid, GU, GV, dt_stage,
                                       fill_halos_2d, g, fill_U, fill_V)
 
 
-def _substep_barotropic_pallas(bt, grid, GU, GV, dt_stage, substeps, g):
+def _substep_barotropic_pallas(bt, grid, GU, GV, dt_stage, substeps, g,
+                               need_eff=True, need_final=True):
     """Coefficient folding + interior cut for the Pallas fused window
     (`pallas_barotropic.barotropic_window_pallas`); embeds the results
-    back into the padded layout exactly like the unpadded path."""
+    back into the padded layout exactly like the unpadded path. Skipped
+    outputs (``need_eff``/``need_final``) come back as zeros — the VMEM
+    saved is what lets the kernel fit whole-domain at 1/4°."""
     from .pallas_barotropic import barotropic_window_pallas
 
     H = grid.H
@@ -130,19 +136,26 @@ def _substep_barotropic_pallas(bt, grid, GU, GV, dt_stage, substeps, g):
     CV = cut(grid.dx_cf)
     R = dtau * wet2_c / cut(grid.az_cc)
 
-    eta, U, V, eta_a, U_a, V_a, U_e, V_e = barotropic_window_pallas(
+    outs = barotropic_window_pallas(
         cut(bt.eta) * wet2_c, cut(bt.U) * wet2_u, cut(bt.V) * wet2_v,
-        AU, BU, AV, BV, CU, CV, R, M)
+        AU, BU, AV, BV, CU, CV, R, M,
+        with_eff=need_eff, with_final=need_final)
+    eta_a, U_a, V_a = outs[:3]
+    U_e, V_e = outs[3:5] if need_eff else (None, None)
+    fin = outs[3 + 2 * need_eff:] if need_final else None
 
     def embed(a, like):
+        if a is None:
+            return jnp.zeros_like(like)
         return jnp.zeros_like(like).at[..., H:H + grid.Ny,
                                        H:H + grid.Nx].set(a)
 
     averaged = AveragedBarotropic(embed(eta_a, bt.eta), embed(U_a, bt.U),
                                   embed(V_a, bt.V), embed(U_e, bt.U),
                                   embed(V_e, bt.V))
-    final = BarotropicState(embed(eta, bt.eta), embed(U, bt.U),
-                            embed(V, bt.V))
+    final = BarotropicState(embed(fin[0] if fin else None, bt.eta),
+                            embed(fin[1] if fin else None, bt.U),
+                            embed(fin[2] if fin else None, bt.V))
     return averaged, final
 
 

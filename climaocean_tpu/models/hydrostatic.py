@@ -490,7 +490,8 @@ def rk3_substage(model, state0, state_prev, fluxes, dt_stage, substeps,
         bt0, grid, GU, GV, dt_stage, substeps,
         lambda a: fill_halos(a, grid), model.g,
         fill_U=lambda a: fill_halos(a, grid, "u", vector=True),
-        fill_V=lambda a: fill_halos(a, grid, "v", vector=True))
+        fill_V=lambda a: fill_halos(a, grid, "v", vector=True),
+        need_eff=roms, need_final=False)
 
     if roms:
         adv_T, adv_S, w_impl = tracer_advection_tendency(model, state_prev,
@@ -555,7 +556,8 @@ def ab2_step(model, state, fluxes, dt, t=0.0):
         bt0, grid, GU, GV, dt, model.substeps,
         lambda a: fill_halos(a, grid), model.g,
         fill_U=lambda a: fill_halos(a, grid, "u", vector=True),
-        fill_V=lambda a: fill_halos(a, grid, "v", vector=True))
+        fill_V=lambda a: fill_halos(a, grid, "v", vector=True),
+        need_eff=roms, need_final=False)
 
     if roms:
         # ROMS ordering for AB2 too: tracer advection runs AFTER the
