@@ -322,6 +322,44 @@ def tracer_advection_tendency(model, state_f, averaged, dt=None):
                                    u_adv, v_adv, w_adv, sigma, dzc3, dt=dt)
 
 
+def _fused_momentum_block(model, u, v, w, b_dz, sigma, f_ff):
+    """Route the momentum + pressure-gradient + bottom-drag block through
+    the fused Pallas kernel (`advection/pallas_momentum.py`) when the
+    backend / scheme / halo / VMEM gates allow; None -> XLA path.
+    CLIMAOCEAN_PALLAS_MOMENTUM=1/0 forces it either way."""
+    import os
+
+    env = os.environ.get("CLIMAOCEAN_PALLAS_MOMENTUM")
+    if env is not None:
+        on = env not in ("", "0")
+    else:
+        from ..advection.tracer import _use_pallas
+        on = _use_pallas()
+    if not on:
+        return None
+    if model.momentum_scheme == "weno_vector_invariant":
+        order = model.momentum_order
+        if order not in (5, 7):
+            return None
+    elif model.momentum_scheme == "vector_invariant":
+        order = None
+    else:
+        return None
+    from ..advection import pallas_momentum as pm
+
+    grid = model.grid
+    nz, _, nxp = u.shape
+    if grid.H < pm.reach(order) or nxp < 2 * pm.reach(order) + 8:
+        return None
+    by = pm.choose_block(nz, nxp)
+    if by is None:
+        return None
+    inv_sigma = None if sigma is None else 1.0 / sigma
+    return pm.momentum_pressure_drag(
+        u, v, w, b_dz, grid, f_ff, order=order, weights=model.weno_weights,
+        Cd=model.bottom_drag_coefficient or 0.0, inv_sigma=inv_sigma, by=by)
+
+
 def tendencies(model, state, fluxes, tracer_advection=True, dt=None, t=0.0):
     """Explicit tendencies for u, v, T, S (barotropic η-gradient excluded —
     it lives in the substepped 2-D mode). With z★ the returned tracer
@@ -346,19 +384,23 @@ def tendencies(model, state, fluxes, tracer_advection=True, dt=None, t=0.0):
     w = diagnose_w(u, v, grid, dzc3)
     aux, b = closure_aux(model, state, fluxes, t=t)
 
-    # --- momentum: vorticity + KE + vertical advection + Coriolis ----------
+    # --- momentum: vorticity + KE + vertical advection + Coriolis + the
+    # baroclinic pressure gradient + bottom drag — fused Pallas kernel on
+    # TPU, else the XLA stencil chain (identical term-by-term) -------------
     f_ff = coriolis_ff(grid, model.rotation_rate)
-    G_u, G_v = momentum_tendencies(u, v, w, grid, f_ff,
-                                   scheme=model.momentum_scheme,
-                                   vorticity_order=model.momentum_order,
-                                   weights=model.weno_weights)
-
-    # --- baroclinic pressure gradient --------------------------------------
     dz = grid.dz_c[:, None, None] if dzc3 is None else dzc3
     b_dz = b * dz * grid.wet_c
-    Bint = (jnp.cumsum(b_dz[::-1], axis=0)[::-1] - 0.5 * b_dz)  # ∫_z^0 b dz'
-    G_u = G_u + dxf(Bint) / grid.dx_fc * grid.wet_u
-    G_v = G_v + dyf(Bint) / grid.dy_cf * grid.wet_v
+    fused = _fused_momentum_block(model, u, v, w, b_dz, sigma, f_ff)
+    if fused is not None:
+        G_u, G_v = fused
+    else:
+        G_u, G_v = momentum_tendencies(u, v, w, grid, f_ff,
+                                       scheme=model.momentum_scheme,
+                                       vorticity_order=model.momentum_order,
+                                       weights=model.weno_weights)
+        Bint = (jnp.cumsum(b_dz[::-1], axis=0)[::-1] - 0.5 * b_dz)  # ∫_z^0 b dz'
+        G_u = G_u + dxf(Bint) / grid.dx_fc * grid.wet_u
+        G_v = G_v + dyf(Bint) / grid.dy_cf * grid.wet_v
     if sigma is not None:
         # moving-coordinate correction +b ∇z|_z★ with
         # ∂x z|_z★ = ∂x η · (H + z★)/H
@@ -379,8 +421,9 @@ def tendencies(model, state, fluxes, tracer_advection=True, dt=None, t=0.0):
         G_T = jnp.zeros_like(T)
         G_S = jnp.zeros_like(S)
 
-    # --- quadratic bottom drag (deepest wet cell per column) ---------------
-    if model.bottom_drag_coefficient:
+    # --- quadratic bottom drag (deepest wet cell per column; the fused
+    # momentum kernel already applied it) ------------------------------------
+    if model.bottom_drag_coefficient and fused is None:
         from ..core.stencil import zm1
         bottom_u = grid.wet_u * (1.0 - zm1(grid.wet_u).at[0].set(0.0))
         bottom_v = grid.wet_v * (1.0 - zm1(grid.wet_v).at[0].set(0.0))
@@ -416,6 +459,36 @@ def tendencies(model, state, fluxes, tracer_advection=True, dt=None, t=0.0):
     return G, aux, state
 
 
+def _fused_implicit_solve(model, state, nu_w, kap_w, sig, dt, w_impl):
+    """Route the u/v/T/S implicit vertical solves through the fused Pallas
+    kernel (coefficient build + 4 Thomas solves VMEM-resident,
+    `core/pallas_tridiagonal.implicit_vertical_solve_pallas`). None ->
+    XLA path (CPU backends, VMEM overflow, or the adaptive-implicit-
+    advection case, whose T/S matrix carries the upwind w_impl terms).
+    CLIMAOCEAN_PALLAS_IMPLICIT=1/0 forces it either way."""
+    import os
+
+    env = os.environ.get("CLIMAOCEAN_PALLAS_IMPLICIT")
+    if env is not None:
+        on = env not in ("", "0")
+    else:
+        from ..advection.tracer import _use_pallas
+        on = _use_pallas()
+    if not on or w_impl is not None:
+        return None
+    from ..core.pallas_tridiagonal import (impl_choose_block,
+                                           implicit_vertical_solve_pallas)
+    grid = model.grid
+    nz, _, nxp = state["u"].shape
+    by = impl_choose_block(nz, nxp)
+    if by is None:
+        return None
+    inv_sig2 = None if sig is None else 1.0 / (sig * sig)
+    return implicit_vertical_solve_pallas(
+        nu_w, kap_w, state["u"], state["v"], state["T"], state["S"],
+        grid, dt, inv_sig2=inv_sig2, by=by)
+
+
 def implicit_vertical_step(model, state, aux, dt, w_impl=None):
     """Implicit vertical mixing of u, v, T, S (+ closure prognostics).
 
@@ -427,10 +500,21 @@ def implicit_vertical_step(model, state, aux, dt, w_impl=None):
     nu_w, kap_w = sum_diffusivities(model.closures, grid, state, aux)
 
     dz_c, dz_f = grid.dz_c, grid.dz_f
+    sig = None
     if model.zstar:
         sig = column_sigma(model, state["eta"])
         dz_c = sig[None] * dz_c[:, None, None]
         dz_f = sig[None] * dz_f[:, None, None]
+
+    fused = _fused_implicit_solve(model, state, nu_w, kap_w, sig, dt,
+                                  w_impl)
+    if fused is not None:
+        out = dict(state, u=fused[0], v=fused[1], T=fused[2], S=fused[3])
+        for cl in model.closures:
+            stepper = getattr(cl, "step_prognostics", None)
+            if stepper is not None:
+                out.update(stepper(grid, out, aux, dt))
+        return out
 
     a, b, c = implicit_vertical_diffusion_matrix(
         kap_w, dz_c, dz_f, dt, grid.wet_c, grid.wet_w)
