@@ -23,6 +23,19 @@ calibrated constants below are stated from the CATKE paper's first-gen
 calibration to within recall precision and are a declared approximation;
 the in-tree KPP and NEMO-TKE closures are ported exactly instead.
 
+Measured delta vs the calibration targets (the canonical columns the
+published calibration itself optimizes against; 50×4 m cells, values
+pinned by `tests/test_catke_calibration.py::test_calibration_coefficients`):
+
+- free convection into N²=1e-5 with B₀=1e-7: the mixed layer follows
+  h(t) = √(2 c B₀ t)/N with measured c = 1.00 (18 h) / 0.89 (36 h).
+  Pure encroachment is c = 1; LES entrainment (A ≈ 0.1–0.25) gives
+  c = 1.2–1.5 — i.e. this parameter set under-entrains by ~20–35%
+  relative to the published calibration's target band.
+- Kato–Phillips wind deepening (u★=0.01, N²=1e-4, 24 h): measured
+  coefficient h/(u★√(t/N)) = 1.09 vs the canonical 1.05 — within 4%
+  (less than one 4 m cell of the 32 m layer).
+
 Numerics: the TKE step is per-column and fully implicit in the dissipation
 (linearized: ε ≈ Cᴰ √e · e / ℓ) and the vertical diffusion — one batched
 tridiagonal solve, mirroring the reference's `VerticallyImplicitTimeDiscretization`.
