@@ -88,32 +88,43 @@ def substep_barotropic(bt: BarotropicState, grid, GU, GV, dt_stage,
     kernel's parity reference in tests.
     """
     import os
-    if not grid.kind.startswith("tripolar"):
-        from ..core.halo import _halo_override
-        env = os.environ.get("CLIMAOCEAN_PALLAS_BAROTROPIC")
-        from ..advection.tracer import _use_pallas
-        use = _use_pallas() if env is None else env not in ("", "0")
-        if use and _halo_override.get() is None:
-            from .pallas_barotropic import fits_vmem
-            if fits_vmem(grid.Ny, grid.Nx, with_eff=need_eff,
-                         with_final=need_final):
-                return _substep_barotropic_pallas(
-                    bt, grid, GU, GV, dt_stage, substeps, g,
-                    need_eff=need_eff, need_final=need_final)
-        if os.environ.get("CLIMAOCEAN_UNPADDED_BAROTROPIC"):
-            return _substep_barotropic_unpadded(bt, grid, GU, GV, dt_stage,
-                                                substeps, g)
+    from ..core.halo import _halo_override
+    env = os.environ.get("CLIMAOCEAN_PALLAS_BAROTROPIC")
+    from ..advection.tracer import _use_pallas
+    use = _use_pallas() if env is None else env not in ("", "0")
+    # fold-aware: "tripolar:<p>" grids run the seam INSIDE the kernel (the
+    # x-mirror is an exact permutation matmul); other folded kinds (no
+    # static pole column) keep the padded path
+    fold = grid.kind.startswith("tripolar:")
+    simple = not grid.kind.startswith("tripolar")
+    if use and _halo_override.get() is None and (simple or fold):
+        from .pallas_barotropic import fits_vmem
+        if fits_vmem(grid.Ny, grid.Nx, with_eff=need_eff,
+                     with_final=need_final, fold=fold):
+            return _substep_barotropic_pallas(
+                bt, grid, GU, GV, dt_stage, substeps, g,
+                need_eff=need_eff, need_final=need_final, fold=fold)
+    if simple and os.environ.get("CLIMAOCEAN_UNPADDED_BAROTROPIC"):
+        return _substep_barotropic_unpadded(bt, grid, GU, GV, dt_stage,
+                                            substeps, g)
     return _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
                                       fill_halos_2d, g, fill_U, fill_V)
 
 
 def _substep_barotropic_pallas(bt, grid, GU, GV, dt_stage, substeps, g,
-                               need_eff=True, need_final=True):
+                               need_eff=True, need_final=True, fold=False):
     """Coefficient folding + interior cut for the Pallas fused window
     (`pallas_barotropic.barotropic_window_pallas`); embeds the results
     back into the padded layout exactly like the unpadded path. Skipped
     outputs (``need_eff``/``need_final``) come back as zeros — the VMEM
-    saved is what lets the kernel fit whole-domain at 1/4°."""
+    saved is what lets the kernel fit whole-domain at 1/4°.
+
+    ``fold``: tripolar northern seam — the seam V face row (padded row
+    H+Ny, the fold line shared with the mirrored half) is handed to the
+    kernel as extra state and embedded back, so downstream consumers
+    (`barotropic_correct`, the v-location fold fill that antisymmetrizes
+    the STORED seam row) see the evolved seam exactly like the padded
+    path's."""
     from .pallas_barotropic import barotropic_window_pallas
 
     H = grid.H
@@ -136,26 +147,57 @@ def _substep_barotropic_pallas(bt, grid, GU, GV, dt_stage, substeps, g,
     CV = cut(grid.dx_cf)
     R = dtau * wet2_c / cut(grid.az_cc)
 
+    seam = None
+    if fold:
+        jseam = H + grid.Ny
+
+        def srow(a):
+            return a[..., jseam, H:H + grid.Nx]
+
+        wet_s = srow((H_v > 0).astype(bt.V.dtype))
+        p_int = int(grid.kind.split(":")[1])
+        # entry state matches the padded path's init fill: antisymmetrize
+        # the stored seam, then mask
+        mmap = (2 * p_int - 1 - jnp.arange(grid.Nx)) % grid.Nx
+        s0 = srow(bt.V)
+        s0 = 0.5 * (s0 - jnp.take(s0, mmap, axis=-1)) * wet_s
+        seam = {
+            "p": p_int,          # pole face-column in INTERIOR x indexing
+            "AVs": -dtau * g * srow(H_v) / srow(grid.dy_cf) * wet_s,
+            "BVs": dtau * srow(GV) * wet_s,
+            "CVs": srow(grid.dx_cf),
+            "Vs0": s0,
+            "wet": wet_s,
+        }
+
     outs = barotropic_window_pallas(
         cut(bt.eta) * wet2_c, cut(bt.U) * wet2_u, cut(bt.V) * wet2_v,
         AU, BU, AV, BV, CU, CV, R, M,
-        with_eff=need_eff, with_final=need_final)
+        with_eff=need_eff, with_final=need_final, seam=seam)
+    if fold:
+        Vs_a, Vs_e, Vs_f = outs[-3:]
+        outs = outs[:-3]
     eta_a, U_a, V_a = outs[:3]
     U_e, V_e = outs[3:5] if need_eff else (None, None)
     fin = outs[3 + 2 * need_eff:] if need_final else None
 
-    def embed(a, like):
+    def embed(a, like, seam_row=None):
         if a is None:
             return jnp.zeros_like(like)
-        return jnp.zeros_like(like).at[..., H:H + grid.Ny,
-                                       H:H + grid.Nx].set(a)
+        out = jnp.zeros_like(like).at[..., H:H + grid.Ny,
+                                      H:H + grid.Nx].set(a)
+        if fold and seam_row is not None:
+            out = out.at[..., H + grid.Ny, H:H + grid.Nx].set(seam_row)
+        return out
 
     averaged = AveragedBarotropic(embed(eta_a, bt.eta), embed(U_a, bt.U),
-                                  embed(V_a, bt.V), embed(U_e, bt.U),
-                                  embed(V_e, bt.V))
+                                  embed(V_a, bt.V, Vs_a if fold else None),
+                                  embed(U_e, bt.U),
+                                  embed(V_e, bt.V, Vs_e if fold else None))
     final = BarotropicState(embed(fin[0] if fin else None, bt.eta),
                             embed(fin[1] if fin else None, bt.U),
-                            embed(fin[2] if fin else None, bt.V))
+                            embed(fin[2] if fin else None, bt.V,
+                                  Vs_f if fold and fin else None))
     return averaged, final
 
 

@@ -46,13 +46,17 @@ def n_live_arrays(with_eff, with_final):
 
 
 def fits_vmem(ny, nx, with_eff=True, with_final=False, itemsize=4,
-              budget=None):
+              budget=None, fold=False):
     if budget is None:
         budget = _VMEM_LIMIT
     nx_t = -(-nx // 128) * 128
     ny_t = -(-ny // 8) * 8
+    extra = 0
+    if fold:
+        # mirror permutation matrix + packed seam rows / matmul temporaries
+        extra = nx_t * nx_t * itemsize + 4 * 8 * nx_t * itemsize
     return (n_live_arrays(with_eff, with_final) * ny_t * nx_t * itemsize
-            <= budget)
+            + extra <= budget)
 
 
 def _cat(parts, axis):
@@ -82,8 +86,22 @@ def _ym1(a, m):
 
 
 def _kernel(eta_ref, U_ref, V_ref, AU_ref, BU_ref, AV_ref, BV_ref,
-            CU_ref, CV_ref, R_ref, *out_refs,
-            M, ny, nx, with_eff, with_final):
+            CU_ref, CV_ref, R_ref, *refs,
+            M, ny, nx, with_eff, with_final, fold):
+    """``fold=True`` adds the tripolar northern seam: the seam V face row
+    is carried prognostically inside the kernel (refs gain the mirror
+    permutation matrix P and a packed seam-constant block; outputs gain a
+    packed seam-row block). The fold's x-mirror is an EXACT permutation
+    matmul — ``jnp.dot(row, P, precision="float32")`` (bf16x3 is exact for
+    a 0/1 matrix; `lax.rev` has no Mosaic lowering) — so the seam is
+    refreshed every substep, matching the padded path's interior exactly
+    where its deferred fills are exact."""
+    if fold:
+        P_ref, seam_ref = refs[0], refs[1]
+        out_refs = refs[2:-1]
+        seam_out = refs[-1]
+    else:
+        out_refs = refs
     ft = eta_ref.dtype
     AU = AU_ref[...]
     BU = BU_ref[...]
@@ -98,20 +116,57 @@ def _kernel(eta_ref, U_ref, V_ref, AU_ref, BU_ref, AV_ref, BV_ref,
     z = jnp.zeros_like(eta_ref[...])
     init = (eta_ref[...], U_ref[...], V_ref[...], z, z, z) \
         + ((z, z) if with_eff else ())
+    if fold:
+        P = P_ref[...]
+        AVs = seam_ref[0:1]
+        BVs = seam_ref[1:2]
+        CVs = seam_ref[2:3]
+        Vs0 = seam_ref[3:4]
+        wet_s = seam_ref[4:5]
+        zs = jnp.zeros_like(Vs0)
+        init = init + (Vs0, zs) + ((zs,) if with_eff else ())
+
+    def mirror(row):
+        return jnp.dot(row, P, precision="float32",
+                       preferred_element_type=ft)
 
     def body(j, carry):
+        if fold:
+            if with_eff:
+                *carry, Vs, Vs_a, Vs_e = carry
+            else:
+                *carry, Vs, Vs_a = carry
         eta, U, V, ea, Ua, Va, *eff = carry
         if with_eff:
             we = 2.0 * (Mf - j.astype(ft)) / (Mf * Mf)
             eff = (eff[0] + we * U, eff[1] + we * V)
+            if fold:
+                Vs_e = Vs_e + we * Vs
         qx = CU * U
         qy = CV * V
-        eta = eta - R * ((_xp1(qx, nx) - qx) + (_yp1(qy, ny) - qy))
+        dy = _yp1(qy, ny) - qy
+        if fold:
+            top = CVs * Vs - qy[ny - 1:ny]
+            dy = _cat([dy[:ny - 1], top, dy[ny:]], 0)
+        eta = eta - R * ((_xp1(qx, nx) - qx) + dy)
         U = U + AU * (eta - _xm1(eta, nx)) + BU
         V = V + AV * (eta - _ym1(eta, ny)) + BV
-        return (eta, U, V, ea + w * eta, Ua + w * U, Va + w * V) + tuple(eff)
+        out = (eta, U, V, ea + w * eta, Ua + w * U, Va + w * V) + tuple(eff)
+        if fold:
+            # seam V: dyf(eta) across the fold = mirror(eta_top) − eta_top;
+            # re-antisymmetrize every substep (the update preserves
+            # antisymmetry analytically; this pins it to roundoff)
+            eta_top = eta[ny - 1:ny]
+            Vs = Vs + AVs * (mirror(eta_top) - eta_top) + BVs
+            Vs = 0.5 * (Vs - mirror(Vs)) * wet_s
+            out = out + (Vs, Vs_a + w * Vs) + ((Vs_e,) if with_eff else ())
+        return out
 
     res = jax.lax.fori_loop(0, M, body, init)
+    if fold:
+        n_seam = 2 + with_eff
+        seam_res = res[-n_seam:]
+        res = res[:-n_seam]
     eta, U, V, ea, Ua, Va = res[:6]
     outs = [ea, Ua, Va]
     if with_eff:
@@ -120,10 +175,16 @@ def _kernel(eta_ref, U_ref, V_ref, AU_ref, BU_ref, AV_ref, BV_ref,
         outs += [eta, U, V]
     for ref, val in zip(out_refs, outs):
         ref[...] = val
+    if fold:
+        Vs, Vs_a = seam_res[0], seam_res[1]
+        Vs_e = seam_res[2] if with_eff else jnp.zeros_like(Vs)
+        # rows: 0 = window-average, 1 = effective, 2 = final
+        seam_out[...] = _cat([Vs_a, Vs_e, Vs,
+                              jnp.zeros((5, Vs.shape[1]), ft)], 0)
 
 
 def barotropic_window_pallas(eta0, U0, V0, AU, BU, AV, BV, CU, CV, R, M,
-                             with_eff=True, with_final=True):
+                             with_eff=True, with_final=True, seam=None):
     """Run the M-substep forward-backward window on interior (Ny, Nx)
     arrays; returns (eta_avg, U_avg, V_avg[, U_eff, V_eff][, eta, U, V]).
 
@@ -134,6 +195,11 @@ def barotropic_window_pallas(eta0, U0, V0, AU, BU, AV, BV, CU, CV, R, M,
     needed under ROMS ordering) and the final instantaneous state (the RK3
     stages discard it) — each skipped output saves whole-domain VMEM
     arrays, the binding constraint at 1/4°.
+
+    ``seam`` (tripolar fold): a dict with ``p`` (the pole face-column of
+    the INTERIOR x indexing) and the seam-face rows ``AVs``, ``BVs``,
+    ``CVs``, ``Vs0`` (each (Nx,), pre-masked); the return tuple then ends
+    with (Vs_avg, Vs_eff, Vs_final) seam rows.
     """
     ny, nx = eta0.shape
     ny_t = -(-ny // 8) * 8
@@ -144,15 +210,39 @@ def barotropic_window_pallas(eta0, U0, V0, AU, BU, AV, BV, CU, CV, R, M,
 
     ins = [pad(a) for a in (eta0, U0, V0, AU, BU, AV, BV, CU, CV, R)]
     ft = eta0.dtype
+    fold = seam is not None
+    if fold:
+        # mirror permutation as an on-device 0/1 matrix (no host constant
+        # rides the serialized HLO): mirrored[i] = row[(2p−1−i) mod nx]
+        p = seam["p"]
+        i = jnp.arange(nx_t)
+        mcol = (2 * p - 1 - i) % nx
+        P = ((i[:, None] == mcol[None, :]) & (i[:, None] < nx)
+             & (i[None, :] < nx)).astype(ft)
+        seam_in = jnp.stack([
+            jnp.pad(seam["AVs"], (0, nx_t - nx)),
+            jnp.pad(seam["BVs"], (0, nx_t - nx)),
+            jnp.pad(seam["CVs"], (0, nx_t - nx)),
+            jnp.pad(seam["Vs0"], (0, nx_t - nx)),
+            jnp.pad(seam["wet"], (0, nx_t - nx)),
+        ]).astype(ft)
+        ins += [P, jnp.pad(seam_in, ((0, 3), (0, 0)))]
     sd = jax.ShapeDtypeStruct((ny_t, nx_t), ft)
     n_out = 3 + 2 * with_eff + 3 * with_final
+    out_shape = [sd] * n_out
+    if fold:
+        out_shape += [jax.ShapeDtypeStruct((8, nx_t), ft)]
     outs = pl.pallas_call(
         partial(_kernel, M=M, ny=ny, nx=nx, with_eff=with_eff,
-                with_final=with_final),
-        out_shape=[sd] * n_out,
+                with_final=with_final, fold=fold),
+        out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ins),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
     )(*ins)
-    return tuple(o[:ny, :nx] for o in outs)
+    main = tuple(o[:ny, :nx] for o in outs[:n_out])
+    if fold:
+        s = outs[n_out]
+        return main + (s[0, :nx], s[1, :nx], s[2, :nx])
+    return main

@@ -11,7 +11,10 @@ enough here) and prints a table. Run on a QUIET host:
 from __future__ import annotations
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
