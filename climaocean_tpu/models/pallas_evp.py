@@ -1,0 +1,321 @@
+"""Pallas-fused mEVP substep window.
+
+Same design as `pallas_barotropic`: the EVP loop is 100+ substeps of tiny
+2-D VPU stencils (strain → stress relaxation → stress divergence →
+semi-implicit momentum), and the XLA `lax.scan` issues each substep as
+HBM-bound kernels plus a full halo fill; here the ENTIRE window runs in
+ONE kernel with the 2-D state VMEM-resident (5 carried fields + ~20
+constants; at 1° tripolar each array is ~280 KB).
+
+Interior-only semantics: x is periodic (rolls ARE the exchange); the
+southern boundary uses the padded path's zero-gradient ghost arithmetic
+reproduced exactly (one ghost strain/ζ row); the northern boundary is
+either bounded (ghost clamp, dry seam) or the tripolar fold — the fold's
+x-mirror is the exact permutation matmul of `pallas_barotropic`
+(`jnp.dot(row, P, precision="float32")`), and the two fold-line rows that
+are prognostic in the padded layout — the seam V face row and the seam
+σ₁₂ corner row — are carried in-kernel and embedded back at padded row
+H+Ny. Stress components are INVARIANT under the fold's 180° rotation
+(σ' = RσRᵀ with R = −I), so center/corner ghosts mirror with sign +1
+while velocities mirror with −1, exactly like `core.halo.fill_halos`.
+
+Reference behavior contract: `models/sea_ice.evp_dynamics` (the XLA scan
+path, itself built to ClimaSeaIce's mEVP — Bouillon et al. 2013 (α, β)
+subcycling, Hunke & Dukowicz 1997 elliptical yield curve); parity is
+pinned by `tests/test_pallas_evp.py`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_barotropic import _VMEM_LIMIT, _cat, _xm1, _xp1
+
+RHO_OCEAN = 1020.0
+CD_IO = 5.5e-3
+
+
+def evp_fits_vmem(ny, nx, itemsize=4, budget=None):
+    if budget is None:
+        budget = _VMEM_LIMIT
+    nx_t = -(-nx // 128) * 128
+    ny_t = -(-ny // 8) * 8
+    # 5 carries ping-ponged + 21 constants + ~14 live temporaries
+    n_live = 5 * 2 + 21 + 14
+    return (n_live * ny_t * nx_t + nx_t * nx_t + 32 * nx_t) * itemsize \
+        <= budget
+
+
+def _kernel(u_ref, v_ref, s1_ref, s2_ref, s12_ref,
+            P_ref, cu_ref, cv_ref, au_ref, av_ref,
+            TX_ref, TY_ref, uo_ref, vo_ref, Ac_ref, Bc_ref,
+            Fu_ref, Fv_ref,
+            ixcc_ref, iycc_ref, ixff_ref, iyff_ref,
+            ixfc_ref, iyfc_ref, iycf_ref, ixcf_ref,
+            Pm_ref, seam_ref, south_ref, entry_ref,
+            uo_out, vo_out, s1o, s2o, s12o, seam_out,
+            *, M, ny, nx, alpha, beta, e2, fold):
+    ft = u_ref.dtype
+    P = P_ref[...]
+    cu = cu_ref[...]
+    cv = cv_ref[...]
+    act_u = au_ref[...]
+    act_v = av_ref[...]
+    TX = TX_ref[...]
+    TY = TY_ref[...]
+    uo_u = uo_ref[...]
+    vo_v = vo_ref[...]
+    A_c = Ac_ref[...]
+    B_c = Bc_ref[...]
+    Fu = Fu_ref[...]
+    Fv = Fv_ref[...]
+    ixcc = ixcc_ref[...]
+    iycc = iycc_ref[...]
+    ixff = ixff_ref[...]
+    iyff = iyff_ref[...]
+    ixfc = ixfc_ref[...]
+    iyfc = iyfc_ref[...]
+    iycf = iycf_ref[...]
+    ixcf = ixcf_ref[...]
+    Pm = Pm_ref[...]
+    # north ghost-row constants (padded rows H+Ny / H+Ny+1)
+    ixff_s = seam_ref[0:1]
+    iyff_s = seam_ref[1:2]
+    iycf_s = seam_ref[2:3]
+    ixcf_s = seam_ref[3:4]
+    cv_s = seam_ref[4:5]
+    act_vs = seam_ref[5:6]
+    TY_s = seam_ref[6:7]
+    vo_vs = seam_ref[7:8]
+    Fv_s = seam_ref[8:9]
+    B_gn = seam_ref[9:10]
+    ixcc_gn = seam_ref[10:11]
+    iycc_gn = seam_ref[11:12]
+    ixff_gn2 = seam_ref[12:13]
+    P_gn = seam_ref[13:14]
+    # south ghost-row constants (padded row H-1)
+    P_g = south_ref[0:1]
+    ixcc_g = south_ref[1:2]
+    ixff_g = south_ref[2:3]
+    B_gs = south_ref[3:4]
+    iycc_g = south_ref[4:5]
+
+    inv_a = jnp.asarray(1.0 / alpha, ft)
+    inv_e2 = jnp.asarray(1.0 / e2, ft)
+    inv_2e2 = jnp.asarray(0.5 / e2, ft)
+    bt = jnp.asarray(beta, ft)
+
+    u_n = u_ref[...]
+    v_n = v_ref[...]
+    vs_n = entry_ref[8:9]
+
+    def up(a, top):
+        """a[j+1] for rows 0..ny-1 with ``top`` supplying row ny."""
+        return _cat([a[1:ny], top, a[ny:]], 0)
+
+    def dn(a, bot):
+        """a[j-1] with ``bot`` supplying the south ghost row."""
+        return _cat([bot, a[:ny - 1], a[ny:]], 0)
+
+    def mirror(row):
+        return jnp.dot(row, Pm, precision="float32",
+                       preferred_element_type=ft)
+
+    def body(_, carry):
+        (u, v, s1, s2, s12, vs, s12s,
+         ug_n, vg_n2, ug_s, vg_s, s1_g, s2_g, s1_gn, s2_gn) = carry
+
+        # --- strain rates -------------------------------------------------
+        dudx = (_xp1(u, nx) - u) * ixcc
+        dvdy = (up(v, vs) - v) * iycc
+        div = dudx + dvdy
+        ten = dudx - dvdy
+        shear = (v - _xm1(v, nx)) * ixff + (u - dn(u, ug_s)) * iyff
+        shear_s = (vs - _xm1(vs, nx)) * ixff_s \
+            + (ug_n - u[ny - 1:ny]) * iyff_s
+        sh_up = up(shear, shear_s)
+        shear_c = 0.25 * (shear + _xp1(shear, nx)
+                          + sh_up + _xp1(sh_up, nx))
+
+        # --- viscosities + stress relaxation ------------------------------
+        Delta = jnp.sqrt(div ** 2 + (ten ** 2 + shear_c ** 2) * inv_e2) \
+            + 1e-11
+        zeta = P / (2.0 * Delta)
+        s1 = s1 + (zeta * div - 0.5 * P - s1) * inv_a
+        s2 = s2 + (zeta * ten * inv_e2 - s2) * inv_a
+
+        # south ghost row (padded row H-1): the ghost strains the padded
+        # path computes from its (masked) halo fills, with PROGNOSTIC
+        # ghost stresses — stress halos are never refilled in the loop
+        dudx_g = (_xp1(ug_s, nx) - ug_s) * ixcc_g
+        dvdy_g = (v[0:1] - vg_s) * iycc_g
+        div_g = dudx_g + dvdy_g
+        ten_g = dudx_g - dvdy_g
+        shear_gm1 = (vg_s - _xm1(vg_s, nx)) * ixff_g
+        shear_cg = 0.25 * (shear_gm1 + _xp1(shear_gm1, nx)
+                           + shear[0:1] + _xp1(shear[0:1], nx))
+        Delta_g = jnp.sqrt(div_g ** 2
+                           + (ten_g ** 2 + shear_cg ** 2) * inv_e2) + 1e-11
+        zeta_g = P_g / (2.0 * Delta_g)
+        s1_g = s1_g + (zeta_g * div_g - 0.5 * P_g - s1_g) * inv_a
+        s2_g = s2_g + (zeta_g * ten_g * inv_e2 - s2_g) * inv_a
+
+        zdn = dn(zeta, zeta_g)
+        zeta_ff = 0.25 * (zeta + _xm1(zeta, nx) + zdn + _xm1(zdn, nx))
+        s12 = s12 + (zeta_ff * shear * inv_2e2 - s12) * inv_a
+
+        # north ghost center row (padded row H+Ny)
+        s22_top = 0.5 * (s1[ny - 1:ny] - s2[ny - 1:ny])
+        if fold:
+            m2 = mirror(_cat([zeta[ny - 1:ny], s22_top], 0))
+            zeta_gn = m2[0:1]
+            s22_gn = m2[1:2]
+        else:
+            dudx_gn = (_xp1(ug_n, nx) - ug_n) * ixcc_gn
+            dvdy_gn = (vg_n2 - vs) * iycc_gn
+            div_gn = dudx_gn + dvdy_gn
+            ten_gn = dudx_gn - dvdy_gn
+            shear_gn2 = (vg_n2 - _xm1(vg_n2, nx)) * ixff_gn2
+            shear_cgn = 0.25 * (shear_s + _xp1(shear_s, nx)
+                                + shear_gn2 + _xp1(shear_gn2, nx))
+            Delta_gn = jnp.sqrt(
+                div_gn ** 2
+                + (ten_gn ** 2 + shear_cgn ** 2) * inv_e2) + 1e-11
+            zeta_gn = P_gn / (2.0 * Delta_gn)
+            s1_gn = s1_gn + (zeta_gn * div_gn - 0.5 * P_gn - s1_gn) * inv_a
+            s2_gn = s2_gn + (zeta_gn * ten_gn * inv_e2 - s2_gn) * inv_a
+            s22_gn = 0.5 * (s1_gn - s2_gn)
+        zeta_ff_s = 0.25 * (zeta[ny - 1:ny] + _xm1(zeta[ny - 1:ny], nx)
+                            + zeta_gn + _xm1(zeta_gn, nx))
+        s12s = s12s + (zeta_ff_s * shear_s * inv_2e2 - s12s) * inv_a
+
+        # --- stress divergence -> forces ----------------------------------
+        s11 = 0.5 * (s1 + s2)
+        s22 = 0.5 * (s1 - s2)
+        s22_g = 0.5 * (s1_g - s2_g)
+        fx = (s11 - _xm1(s11, nx)) * ixfc \
+            + (up(s12, s12s) - s12) * iyfc
+        fy = (s22 - dn(s22, s22_g)) * iycf + (_xp1(s12, nx) - s12) * ixcf
+        fy_s = (s22_gn - s22_top) * iycf_s \
+            + (_xp1(s12s, nx) - s12s) * ixcf_s
+
+        # --- semi-implicit momentum ---------------------------------------
+        vc = 0.5 * (v + up(v, vs))               # myc(v)
+        dvl = vc - A_c
+        sp_u = jnp.sqrt((u - uo_u) ** 2
+                        + (0.5 * (dvl + _xm1(dvl, nx))) ** 2 + 1e-4)
+        tox = RHO_OCEAN * CD_IO * sp_u
+        uc = 0.5 * (u + _xp1(u, nx))             # mxc(u)
+        dul = uc - B_c
+        mxc_gs = 0.5 * (ug_s + _xp1(ug_s, nx))
+        du_gs = mxc_gs - B_gs
+        sp_v = jnp.sqrt((v - vo_v) ** 2
+                        + (0.5 * (dul + dn(dul, du_gs))) ** 2 + 1e-4)
+        tov = RHO_OCEAN * CD_IO * sp_v
+
+        u1 = (bt * u + u_n + cu * (fx + TX + tox * uo_u)
+              + Fu * 0.5 * (vc + _xm1(vc, nx))) \
+            / (bt + 1.0 + cu * tox) * act_u
+        v1 = (bt * v + v_n + cv * (fy + TY + tov * vo_v)
+              - Fv * 0.5 * (uc + dn(uc, mxc_gs))) \
+            / (bt + 1.0 + cv * tov) * act_v
+
+        # seam V face row (prognostic on folded grids; the padded path's
+        # masked zero-gradient ghost on bounded ones — act_vs kills it)
+        mxc_gn = 0.5 * (ug_n + _xp1(ug_n, nx))
+        du_gn = mxc_gn - B_gn
+        sp_vs = jnp.sqrt((vs - vo_vs) ** 2
+                         + (0.5 * (du_gn + dul[ny - 1:ny])) ** 2 + 1e-4)
+        tovs = RHO_OCEAN * CD_IO * sp_vs
+        vs1 = (bt * vs + vs_n + cv_s * (fy_s + TY_s + tovs * vo_vs)
+               - Fv_s * 0.5 * (mxc_gn + uc[ny - 1:ny])) \
+            / (bt + 1.0 + cv_s * tovs) * act_vs
+        if fold:
+            vs1 = 0.5 * (vs1 - mirror(vs1)) * act_vs
+
+        # ghost velocity rows for the NEXT substep = the padded path's
+        # end-of-substep fill-then-mask: fold mirrors of the new masked
+        # state, or zeros at bounded walls (wet masks beyond the boundary
+        # are dry) — entry values seeded them for substep 1
+        if fold:
+            m3 = mirror(_cat([u1[ny - 1:ny], v1[ny - 1:ny]], 0))
+            ug_n = -_xm1(m3[0:1], nx)
+            vg_n2 = -m3[1:2]
+        else:
+            ug_n = jnp.zeros_like(ug_n)
+            vg_n2 = jnp.zeros_like(vg_n2)
+        ug_s = jnp.zeros_like(ug_s)
+        vg_s = jnp.zeros_like(vg_s)
+
+        return (u1, v1, s1, s2, s12, vs1, s12s,
+                ug_n, vg_n2, ug_s, vg_s, s1_g, s2_g, s1_gn, s2_gn)
+
+    init = (u_ref[...], v_ref[...], s1_ref[...], s2_ref[...], s12_ref[...],
+            entry_ref[8:9], entry_ref[9:10],
+            entry_ref[0:1], entry_ref[1:2], entry_ref[2:3], entry_ref[3:4],
+            entry_ref[6:7], entry_ref[7:8], entry_ref[4:5], entry_ref[5:6])
+    res = jax.lax.fori_loop(0, M, body, init)
+    u, v, s1, s2, s12, vs, s12s = res[:7]
+    uo_out[...] = u
+    vo_out[...] = v
+    s1o[...] = s1
+    s2o[...] = s2
+    s12o[...] = s12
+    seam_out[...] = _cat([vs, s12s, jnp.zeros((6, vs.shape[1]), ft)], 0)
+
+
+def evp_window_pallas(u0, v0, s1, s2, s12, consts, seam, south, entry, M,
+                      alpha, beta, e2, p_fold=None):
+    """Run the M-substep mEVP window on interior (Ny, Nx) arrays.
+
+    ``consts``: tuple of the 21 constant 2-D fields (see `_kernel`
+    signature order). ``seam``/``south``: packed ghost-row constants
+    (14, Nx) and (5, Nx); ``entry``: the 10 entry-state ghost/seam rows
+    (see `_evp_pallas` for the packing order). ``p_fold``: pole
+    face-column (interior indexing) for tripolar grids, None for
+    bounded-north. Returns (u, v, s1, s2, s12, v_seam, s12_seam).
+    """
+    ny, nx = u0.shape
+    ny_t = -(-ny // 8) * 8
+    nx_t = -(-nx // 128) * 128
+    ft = u0.dtype
+
+    def pad(a):
+        return jnp.pad(a, ((0, ny_t - ny), (0, nx_t - nx)))
+
+    fold = p_fold is not None
+    i = jnp.arange(nx_t)
+    if fold:
+        mcol = (2 * p_fold - 1 - i) % nx
+    else:
+        mcol = i % max(nx, 1)
+    Pm = ((i[:, None] == mcol[None, :]) & (i[:, None] < nx)
+          & (i[None, :] < nx)).astype(ft)
+
+    def pack(rows, n):
+        block = jnp.stack([jnp.pad(r, (0, nx_t - nx))
+                           for r in rows]).astype(ft)
+        return jnp.pad(block, ((0, n - block.shape[0]), (0, 0)))
+
+    ins = [pad(a) for a in (u0, v0, s1, s2, s12)] \
+        + [pad(a) for a in consts] \
+        + [Pm, pack(seam, 16), pack(south, 8), pack(entry, 16)]
+    sd = jax.ShapeDtypeStruct((ny_t, nx_t), ft)
+    out_shape = [sd] * 5 + [jax.ShapeDtypeStruct((8, nx_t), ft)]
+    outs = pl.pallas_call(
+        partial(_kernel, M=M, ny=ny, nx=nx, alpha=alpha, beta=beta, e2=e2,
+                fold=fold),
+        out_shape=out_shape,
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ins),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
+    )(*ins)
+    u, v, ss1, ss2, ss12 = (o[:ny, :nx] for o in outs[:5])
+    srows = outs[5]
+    return u, v, ss1, ss2, ss12, srows[0, :nx], srows[1, :nx]

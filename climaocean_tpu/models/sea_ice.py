@@ -56,6 +56,7 @@ LIQUIDUS_SLOPE = 0.054      # T_f = -0.054 S  [°C]
 H_NEW_ICE = 0.5             # lead-closing demarcation thickness [m]
 C_H_ICE_OCEAN = 0.006       # three-equation transfer coefficient
 MIN_USTAR = 0.005           # SHEBA-ish floor on ice-ocean u★
+CD_IO = 5.5e-3              # quadratic ice-ocean drag coefficient
 
 
 def default_ice_atmosphere_fluxes():
@@ -268,7 +269,14 @@ def evp_dynamics(model, ice, ocean_state, atmos, dt):
     tau_ax = rho_a * Cd_ai * mxf(Ua * ua)
     tau_ay = rho_a * Cd_ai * myf(Ua * va)
 
-    Cd_io = 5.5e-3
+    # fused Pallas window (pallas_evp): the ENTIRE substep loop in one
+    # kernel with the 2-D state VMEM-resident; tripolar fold handled
+    # in-kernel via the permutation-matmul mirror. XLA scan otherwise.
+    if _use_pallas_evp(grid):
+        return _evp_pallas(model, ice, grid, P, m_u, m_v, active_u,
+                           active_v, tau_ax, tau_ay, uo, vo, f_u, f_v, dt)
+
+    Cd_io = CD_IO
     alpha = model.evp_alpha
     beta = model.evp_beta
     u_n = ice["u"]                      # step-initial velocity (mEVP memory)
@@ -352,14 +360,120 @@ def evp_dynamics(model, ice, ocean_state, atmos, dt):
     # ice-ocean stress from the final state (handed to the ocean; the
     # ocean feels the opposite sign of the drag the ice feels) — same
     # full-relative-speed drag law as inside the loop
+    tau_iox, tau_ioy = _ice_ocean_stress(u, v, uo, vo)
+    return dict(ice, u=u, v=v, sigma1=s1, sigma2=s2, sigma12=s12), \
+        tau_iox, tau_ioy
+
+
+def _ice_ocean_stress(u, v, uo, vo):
+    """Final ice→ocean stress from the post-window state (full relative
+    speed at each staggered point; the ocean feels the opposite sign)."""
     du_u = u - mxf(uo)
     dv_v = v - myf(vo)
     sp_u = jnp.sqrt(du_u ** 2 + mxf(myc(v) - myc(myf(vo))) ** 2 + 1e-4)
     sp_v = jnp.sqrt(dv_v ** 2 + myf(mxc(u) - mxc(mxf(uo))) ** 2 + 1e-4)
-    tau_iox = RHO_OCEAN * Cd_io * sp_u * du_u
-    tau_ioy = RHO_OCEAN * Cd_io * sp_v * dv_v
-    return dict(ice, u=u, v=v, sigma1=s1, sigma2=s2, sigma12=s12), \
-        tau_iox, tau_ioy
+    return RHO_OCEAN * CD_IO * sp_u * du_u, RHO_OCEAN * CD_IO * sp_v * dv_v
+
+
+def _use_pallas_evp(grid):
+    """Gate for the fused Pallas EVP window: TPU backend (or forced via
+    CLIMAOCEAN_PALLAS_EVP=1/0), single device (no shard_map halo
+    override), periodic-x bounded-y grids (incl. tripolar), VMEM fit."""
+    import os
+
+    env = os.environ.get("CLIMAOCEAN_PALLAS_EVP")
+    if env is not None:
+        on = env not in ("", "0")
+    else:
+        from ..advection.tracer import _use_pallas
+        on = _use_pallas()
+    if not on:
+        return False
+    from ..core.halo import _halo_override
+    if _halo_override.get() is not None:
+        return False
+    if not grid.periodic_x or grid.periodic_y:
+        return False
+    from .pallas_evp import evp_fits_vmem
+    return evp_fits_vmem(grid.Ny, grid.Nx)
+
+
+def _evp_pallas(model, ice, grid, P, m_u, m_v, active_u, active_v,
+                tau_ax, tau_ay, uo, vo, f_u, f_v, dt):
+    """Cut/pack the padded preamble fields, run `pallas_evp`'s fused
+    window, embed the results (incl. the prognostic seam V / seam σ₁₂
+    rows on folded grids) back into the padded layout, and compute the
+    ice→ocean stress epilogue exactly like the XLA path."""
+    from .pallas_evp import evp_window_pallas
+
+    H, Ny, Nx = grid.H, grid.Ny, grid.Nx
+
+    def cut(a):
+        return a[..., H:H + Ny, H:H + Nx]
+
+    def srow(a):
+        return a[..., H + Ny, H:H + Nx]
+
+    def grow(a):
+        return a[..., H - 1, H:H + Nx]
+
+    uo_u = mxf(uo)
+    vo_v = myf(vo)
+    A_c = myc(vo_v)
+    B_c = mxc(uo_u)
+    cu = dt / jnp.maximum(m_u, 1.0)
+    cv = dt / jnp.maximum(m_v, 1.0)
+    Fu = dt * f_u
+    Fv = dt * f_v
+    consts = (cut(P), cut(cu), cut(cv), cut(active_u), cut(active_v),
+              cut(tau_ax), cut(tau_ay), cut(uo_u), cut(vo_v), cut(A_c),
+              cut(B_c), cut(Fu), cut(Fv),
+              cut(1.0 / grid.dx_cc), cut(1.0 / grid.dy_cc),
+              cut(1.0 / grid.dx_ff), cut(1.0 / grid.dy_ff),
+              cut(1.0 / grid.dx_fc), cut(1.0 / grid.dy_fc),
+              cut(1.0 / grid.dy_cf), cut(1.0 / grid.dx_cf))
+    z = ice["thickness"] * 0.0
+    s1_in = ice.get("sigma1", z)
+    s2_in = ice.get("sigma2", z)
+    s12_in = ice.get("sigma12", z)
+
+    def g2(a):
+        """Padded row H+Ny+1 (second north ghost ring)."""
+        return a[..., H + Ny + 1, H:H + Nx]
+
+    seam = (srow(1.0 / grid.dx_ff), srow(1.0 / grid.dy_ff),
+            srow(1.0 / grid.dy_cf), srow(1.0 / grid.dx_cf),
+            srow(cv), srow(active_v), srow(tau_ay), srow(vo_v),
+            srow(Fv), srow(B_c),
+            srow(1.0 / grid.dx_cc), srow(1.0 / grid.dy_cc),
+            g2(1.0 / grid.dx_ff), srow(P))
+    south = (grow(P), grow(1.0 / grid.dx_cc), grow(1.0 / grid.dx_ff),
+             grow(B_c), grow(1.0 / grid.dy_cc))
+    # entry-state ghost/seam rows (the padded path's substep-1 halos):
+    # [u_gn, v_gn2, u_gs, v_gs, s1_gn, s2_gn, s1_g, s2_g, vs0, s12s0]
+    entry = (srow(ice["u"]), g2(ice["v"]), grow(ice["u"]), grow(ice["v"]),
+             srow(s1_in), srow(s2_in), grow(s1_in), grow(s2_in),
+             srow(ice["v"]), srow(s12_in))
+    p_fold = int(grid.kind.split(":")[1]) \
+        if grid.kind.startswith("tripolar:") else None
+
+    u, v, s1, s2, s12, vs, s12s = evp_window_pallas(
+        cut(ice["u"]), cut(ice["v"]), cut(s1_in), cut(s2_in), cut(s12_in),
+        consts, seam, south, entry, model.substeps,
+        model.evp_alpha, model.evp_beta, model.e_ellipse ** 2,
+        p_fold=p_fold)
+
+    def embed(a, seam_row=None):
+        out = jnp.zeros_like(ice["u"]).at[..., H:H + Ny, H:H + Nx].set(a)
+        if seam_row is not None:
+            out = out.at[..., H + Ny, H:H + Nx].set(seam_row)
+        return out
+
+    u_p = fill_halos(embed(u), grid, "u", vector=True) * active_u
+    v_p = fill_halos(embed(v, vs), grid, "v", vector=True) * active_v
+    tau_iox, tau_ioy = _ice_ocean_stress(u_p, v_p, uo, vo)
+    return dict(ice, u=u_p, v=v_p, sigma1=embed(s1), sigma2=embed(s2),
+                sigma12=embed(s12, s12s)), tau_iox, tau_ioy
 
 
 def advect_ice(model, ice, dt):
