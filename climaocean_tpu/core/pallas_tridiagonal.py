@@ -241,3 +241,212 @@ def solve_tridiagonal_pallas(a, b, c, d, by=16):
     )(pad(a), pad(b), pad(c), pad(d))
     x = x[:, :, :ny, :nx]
     return x[0] if single else x
+
+
+# --------------------------------------------------------------------------
+# fused implicit solves + CATKE (diffusivities, TKE production/dissipation
+# and the prognostic-e solve all in ONE kernel)
+# --------------------------------------------------------------------------
+
+_VON_KARMAN = 0.4
+
+
+def _impl_catke_kernel(inv_dzc_ref, inv_dzf_ref, dt_ref, zf_ref, zc_ref,
+                       e_ref, N2_ref, S2_ref, u_ref, v_ref, T_ref, S_ref,
+                       ustar_ref, wc_ref, wu_ref, wv_ref, ww_ref, isg2_ref,
+                       out_ref, *, nz, cat, nu0, kap0):
+    """`_impl_kernel` extended with CATKE (`closures/catke.py`): the
+    mixing lengths / eddy coefficients, shear+buoyancy TKE production,
+    linearized dissipation, and the implicit TKE solve run VMEM-resident
+    alongside the u/v/T/S solves, eliminating the separate XLA
+    `step_prognostics` pass (~2.5 ms/stage at 1/4°). Semantics match
+    `CATKEVerticalDiffusivity.{_lengths,diffusivities,step_prognostics}`
+    exactly (same clamps, same mzc endpoint handling, σ-free TKE matrix);
+    ``cat`` is the (static, frozen) closure dataclass, ``nu0``/``kap0``
+    constant background diffusivities from VerticalScalarDiffusivity."""
+    dt = dt_ref[0]
+    e = e_ref[...]
+    N2 = N2_ref[...]
+    S2 = S2_ref[...]
+    wc = wc_ref[...]
+    wu = wu_ref[...]
+    wv = wv_ref[...]
+    ww = ww_ref[...]
+    isg2 = isg2_ref[...]
+    ustar = ustar_ref[...]
+    ft = e.dtype
+    eps = jnp.asarray(1e-30, ft)
+    VK = jnp.asarray(_VON_KARMAN, ft)
+
+    # ---- CATKE face coefficients + production term ----------------------
+    nu_f, kap_f, kape_f, X = [], [], [], []
+    for k in range(nz + 1):
+        if k == 0:
+            ew = jnp.maximum(e[0], cat.minimum_tke)
+        elif k == nz:
+            ew = jnp.maximum(e[nz - 1], cat.minimum_tke)
+        else:
+            ew = jnp.maximum(0.5 * (e[k - 1] + e[k]), cat.minimum_tke)
+        sqrt_2e = jnp.sqrt(2.0 * ew)
+        N = jnp.sqrt(jnp.maximum(N2[k], 1e-12))
+        l_b = cat.Cb * sqrt_2e / N
+        d = jnp.maximum(-zf_ref[k], 1e-2)
+        l_wall = VK * d
+        Ri = N2[k] / jnp.maximum(S2[k], 1e-12)
+        sig = cat.sigma_minus + (1.0 - cat.sigma_minus) * 0.5 * (
+            1.0 - jnp.tanh((Ri - cat.Ri_zero) / cat.Ri_width))
+        uns = N2[k] < 0.0
+
+        def length(C_shear, C_conv):
+            l_st = jnp.minimum(C_shear * sig * l_b, l_wall)
+            return jnp.where(uns, jnp.minimum(C_conv * d, l_wall / VK),
+                             l_st)
+
+        sqrt_e = jnp.sqrt(ew)
+        nu_k = jnp.minimum(length(cat.Clu, cat.Cconv_u) * sqrt_e,
+                           cat.maximum_viscosity)
+        kap_k = jnp.minimum(length(cat.Clc, cat.Cconv_c) * sqrt_e,
+                            cat.maximum_tracer_diffusivity)
+        kape_k = jnp.minimum(length(cat.Cle, cat.Cconv_c) * sqrt_e,
+                             cat.maximum_tke_diffusivity)
+        nu_f.append(nu_k)
+        kap_f.append(kap_k)
+        kape_f.append(kape_k)
+        # production uses the CATKE-only (masked) coefficients, exactly
+        # like step_prognostics' own nu_w/kap_w
+        X.append((nu_k * S2[k] - kap_k * N2[k]) * ww[k])
+
+    def lams(kw, k, isg):
+        lo = dt * kw[k] * ww[k] * (inv_dzc_ref[k] * inv_dzf_ref[k]) * isg
+        if k == nz - 1:
+            hi = jnp.zeros_like(lo)
+        else:
+            hi = dt * kw[k + 1] * ww[k + 1] \
+                * (inv_dzc_ref[k] * inv_dzf_ref[k + 1]) * isg
+        return lo, hi
+
+    def sweep(kw, wet, ds, isg, extra=None):
+        cp, dps = [], [[] for _ in ds]
+        cp_k = jnp.zeros_like(wet[0])
+        dp_k = [jnp.zeros_like(wet[0]) for _ in ds]
+        for k in range(nz):
+            lo, hi = lams(kw, k, isg)
+            ak = -lo * wet[k]
+            ck = -hi * wet[k]
+            bk = jnp.where(wet[k] > 0, 1.0 + lo + hi, 1.0)
+            if extra is not None:
+                bk = bk + extra[k] * wet[k]
+            denom = bk - ak * cp_k
+            denom = jnp.where(jnp.abs(denom) < eps, eps, denom)
+            cp_k = ck / denom
+            cp.append(cp_k)
+            for i, d in enumerate(ds):
+                dp_k[i] = (d[k] - ak * dp_k[i]) / denom
+                dps[i].append(dp_k[i])
+        outs = []
+        for dp in dps:
+            x = dp[nz - 1]
+            xs = [x]
+            for k in range(nz - 2, -1, -1):
+                x = dp[k] - cp[k] * x
+                xs.append(x)
+            outs.append(jnp.stack(xs[::-1]))
+        return outs
+
+    nu_tot = [n + nu0 for n in nu_f]
+    kap_tot = [kp + kap0 for kp in kap_f]
+    u_out, = sweep(nu_tot, wu, [[u_ref[k] * wu[k] for k in range(nz)]],
+                   isg2)
+    v_out, = sweep(nu_tot, wv, [[v_ref[k] * wv[k] for k in range(nz)]],
+                   isg2)
+    T_out, S_out = sweep(kap_tot, wc,
+                         [[T_ref[k] * wc[k] for k in range(nz)],
+                          [S_ref[k] * wc[k] for k in range(nz)]], isg2)
+
+    # ---- TKE right-hand side + implicit solve ---------------------------
+    one = jnp.ones_like(isg2)
+    dz_top = 1.0 / inv_dzc_ref[nz - 1]
+    rhs_sfc = cat.CWu * ustar ** 3 * inv_dzc_ref[nz - 1]
+    rhs, extra = [], []
+    for k in range(nz):
+        prod_k = X[nz - 1] if k == nz - 1 else 0.5 * (X[k] + X[k + 1])
+        r = e[k] + dt * prod_k
+        if k == nz - 1:
+            r = r + dt * rhs_sfc
+        rhs.append(r * wc[k])
+        e_c = jnp.maximum(e[k], cat.minimum_tke)
+        N_c2 = N2[nz - 1] if k == nz - 1 else 0.5 * (N2[k] + N2[k + 1])
+        N_c = jnp.sqrt(jnp.maximum(N_c2, 1e-12))
+        d_c = jnp.maximum(-zc_ref[k], 1e-2)
+        l_D = jnp.minimum(cat.Cb * jnp.sqrt(2.0 * e_c) / N_c, VK * d_c)
+        l_D = jnp.maximum(l_D, 1e-2)
+        diss = dt * cat.Cd * jnp.sqrt(e_c) / l_D
+        damp = dt / cat.negative_tke_damping_time_scale * (e[k] < 0)
+        extra.append(diss + damp)
+    e_out, = sweep(kape_f, wc, [rhs], one, extra=extra)
+    e_out = e_out * wc
+
+    out_ref[...] = jnp.stack([u_out, v_out, T_out, S_out, e_out])
+
+
+def catke_block_vmem_bytes(nz, nx, by, itemsize=4):
+    nx_t = -(-nx // 128) * 128
+    pipelined = 2 * (12 * nz + 8 + 5 * nz)       # ins + (5, nz) out
+    lists = 4 * (nz + 1) + 2 * nz                # face coeffs + rhs/extra
+    sweeps = 4 * nz + 5 * nz                     # cp + dp chains
+    return (pipelined + lists + sweeps) * by * nx_t * itemsize
+
+
+def catke_choose_block(nz, nx, budget=None):
+    if budget is None:
+        budget = int(0.7 * _VMEM_LIMIT)
+    for by in (16, 8, 4, 2):
+        if catke_block_vmem_bytes(nz, nx, by) <= budget:
+            return by
+    return None
+
+
+def implicit_vertical_catke_pallas(cat, nu0, kap0, state, aux, grid, dt,
+                                   inv_sig2=None, by=8):
+    """Fused implicit vertical step for a (CATKE + constant-scalar)
+    closure stack: diffusivities, TKE production/dissipation, and all
+    FIVE implicit solves (u, v, T, S, e) in one kernel. Returns
+    (u, v, T, S, e)."""
+    u = state["u"]
+    nz, ny, nx = u.shape
+    ny_t = -(-ny // by) * by
+    nx_t = -(-nx // 128) * 128
+    ft = u.dtype
+    if inv_sig2 is None:
+        inv_sig2 = jnp.ones((ny, nx), ft)
+
+    def pad(arr):
+        pads = [(0, 0)] * arr.ndim
+        pads[-2] = (0, ny_t - ny)
+        pads[-1] = (0, nx_t - nx)
+        return jnp.pad(arr, pads)
+
+    inv_dzc = jnp.where(grid.dz_c != 0, 1.0 / grid.dz_c, 0.0).astype(ft)
+    inv_dzf = jnp.where(grid.dz_f != 0, 1.0 / grid.dz_f, 0.0).astype(ft)
+    dt_arr = jnp.asarray([dt], ft)
+
+    bs3 = lambda z: pl.BlockSpec((z, by, nx_t), lambda j: (0, j, 0))
+    bs2 = pl.BlockSpec((by, nx_t), lambda j: (j, 0))
+    n_tiles = ny_t // by
+    x = pl.pallas_call(
+        partial(_impl_catke_kernel, nz=nz, cat=cat, nu0=float(nu0),
+                kap0=float(kap0)),
+        out_shape=jax.ShapeDtypeStruct((5, nz, ny_t, nx_t), ft),
+        grid=(n_tiles,),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+        + [bs3(nz), bs3(nz + 1), bs3(nz + 1), bs3(nz), bs3(nz), bs3(nz),
+           bs3(nz), bs2, bs3(nz), bs3(nz), bs3(nz), bs3(nz + 1), bs2],
+        out_specs=pl.BlockSpec((5, nz, by, nx_t), lambda j: (0, 0, j, 0)),
+    )(inv_dzc, inv_dzf, dt_arr, grid.z_f.astype(ft), grid.z_c.astype(ft),
+      pad(state["e"]), pad(aux.N2), pad(aux.S2), pad(u), pad(state["v"]),
+      pad(state["T"]), pad(state["S"]), pad(aux.u_star), pad(grid.wet_c),
+      pad(grid.wet_u), pad(grid.wet_v), pad(grid.wet_w), pad(inv_sig2))
+    x = x[:, :, :ny, :nx]
+    return x[0], x[1], x[2], x[3], x[4]
