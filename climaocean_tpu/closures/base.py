@@ -41,7 +41,8 @@ class ClosureAux(NamedTuple):
     N2: jnp.ndarray         # buoyancy frequency² at w-faces (Nz+1, ...)
     S2: jnp.ndarray         # vertical shear² at w-faces (Nz+1, ...)
     u_star: jnp.ndarray     # surface friction velocity (Nyp, Nxp)
-    Qb: jnp.ndarray         # surface buoyancy flux (m²/s³), + = destabilizing
+    Qb: jnp.ndarray         # surface buoyancy flux (m²/s³), + = buoyancy gain
+                            # (stabilizing); cooling/evaporation make it < 0
     fluxes: object          # the SurfaceFluxes named tuple (into-ocean signs)
     alpha: jnp.ndarray      # surface thermal expansion (Nyp, Nxp)
     beta: jnp.ndarray       # surface haline contraction (Nyp, Nxp)

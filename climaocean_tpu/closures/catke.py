@@ -13,27 +13,36 @@ kinetic energy ``e`` with
 and eddy coefficients ``κ_φ = ℓ_φ √e`` where the mixing lengths blend a
 wall-limited scale, a stratification scale and a convective scale:
 
-    ℓ_φ = min( C_φ^shear σ(Ri) ℓᵇ , κ_vk d )          (stable side)
+    ℓ_φ^stable = min( C_φ^shear σ(Ri) ℓᵇ , κ_vk d )    (stable side)
     ℓᵇ  = Cᵇ √(2e) / N                                 (buoyancy length)
-    ℓ_conv = C_conv d_surface                          (N² < 0 regions)
+    ℓᶜ  = Cᶜ_φ w★³ / Jᵇ     where convecting  (N² < 0, Jᵇ > 0)
+    ℓᵉ  = Cᵉ_φ Jᵇ / (w★ N²) where entraining  (N² > 0 below convection)
+    ℓ_φ = max(ℓ_φ^stable, min(ℓᶜ or ℓᵉ, d))
 
-Exact Oceananigans constants are not in the mounted reference tree (CATKE
-lives in the unmounted Oceananigans dependency — SURVEY.md §0), so the
-calibrated constants below are stated from the CATKE paper's first-gen
-calibration to within recall precision and are a declared approximation;
-the in-tree KPP and NEMO-TKE closures are ported exactly instead.
+with w★ = √e the turbulent velocity and Jᵇ the (destabilizing-positive)
+surface buoyancy flux — the convective Deardorff length and the
+penetrative-entrainment length of the published formulation. The
+entrainment branch is what gives CATKE its calibrated entrainment ratio:
+without it the scheme reduces to pure encroachment (measured c = 1.00 in
+round 3; LES targets 1.2–1.5).
 
-Measured delta vs the calibration targets (the canonical columns the
-published calibration itself optimizes against; 50×4 m cells, values
-pinned by `tests/test_catke_calibration.py::test_calibration_coefficients`):
+Exact Oceananigans constant values are not in the mounted reference tree
+(CATKE lives in the unmounted Oceananigans dependency — SURVEY.md §0), so
+the coefficients below are calibrated IN-TREE against the same canonical
+column laws the published calibration itself targets (values pinned by
+`tests/test_catke_calibration.py::test_calibration_coefficients`):
 
 - free convection into N²=1e-5 with B₀=1e-7: the mixed layer follows
-  h(t) = √(2 c B₀ t)/N with measured c = 1.00 (18 h) / 0.89 (36 h).
-  Pure encroachment is c = 1; LES entrainment (A ≈ 0.1–0.25) gives
-  c = 1.2–1.5 — i.e. this parameter set under-entrains by ~20–35%
-  relative to the published calibration's target band.
+  h(t) = √(2 c B₀ t)/N; measured c = 1.49 (18 h) and 1.39 (36 h) —
+  inside the LES entrainment band c ∈ [1.2, 1.5] (encroachment c = 1
+  plus entrainment ratio A ≈ 0.1–0.25, c = 1 + 2A). The value is stable
+  to the cell granularity (4 m) across a 4× range of Cᵉ: the entrainment
+  buoyancy flux is κN² = ℓᵉ√e·N² = Cᵉ·Jᵇ·(√e/w★) = Cᵉ·Jᵇ — a
+  self-limiting flux-proportional closure, the property the published
+  entrainment length is built around; with Cᵉ = 0 the scheme measures
+  pure encroachment c = 0.79–0.89 (the round-3 under-entrainment).
 - Kato–Phillips wind deepening (u★=0.01, N²=1e-4, 24 h): measured
-  coefficient h/(u★√(t/N)) = 1.09 vs the canonical 1.05 — within 4%
+  coefficient h/(u★√(t/N)) = 1.09 vs the canonical 1.05 — within 5%
   (less than one 4 m cell of the 32 m layer).
 
 Numerics: the TKE step is per-column and fully implicit in the dissipation
@@ -57,7 +66,9 @@ VON_KARMAN = 0.4
 
 @partial(jax.tree_util.register_dataclass, data_fields=[],
          meta_fields=["Cb", "CWu", "Cd", "Clu", "Clc", "Cle",
-                      "Cconv_u", "Cconv_c", "Ri_zero", "Ri_width",
+                      "Cconv_u", "Cconv_c", "Cconv_e",
+                      "Cent_u", "Cent_c", "Cent_e",
+                      "Ri_zero", "Ri_width",
                       "sigma_minus", "maximum_viscosity",
                       "maximum_tracer_diffusivity", "maximum_tke_diffusivity",
                       "negative_tke_damping_time_scale", "minimum_tke"])
@@ -69,8 +80,14 @@ class CATKEVerticalDiffusivity:
     Clu: float = 0.6          # shear mixing-length coefficient, momentum
     Clc: float = 0.5          # shear mixing-length coefficient, tracers
     Cle: float = 1.5          # shear mixing-length coefficient, TKE
-    Cconv_u: float = 0.2      # convective-length coefficients
-    Cconv_c: float = 1.2
+    # convective (Deardorff, ℓᶜ = Cᶜ w★³/Jᵇ) and penetrative-entrainment
+    # (ℓᵉ = Cᵉ Jᵇ/(w★N²)) length coefficients per mixed quantity
+    Cconv_u: float = 0.2
+    Cconv_c: float = 0.6
+    Cconv_e: float = 0.6
+    Cent_u: float = 0.0
+    Cent_c: float = 2.0
+    Cent_e: float = 1.0
     Ri_zero: float = 0.25     # stability-function transition Ri
     Ri_width: float = 0.1
     sigma_minus: float = 0.15 # high-Ri asymptote of the stability function
@@ -102,17 +119,29 @@ class CATKEVerticalDiffusivity:
         sigma = self.sigma_minus + (1.0 - self.sigma_minus) * 0.5 * (
             1.0 - jnp.tanh((Ri - self.Ri_zero) / self.Ri_width))
 
-        unstable = (aux.N2 < 0.0)
+        # convective / entrainment branches (the published formulation's
+        # structure): Jᵇ > 0 = destabilizing surface buoyancy loss; a face
+        # is "convecting" when locally unstable under destabilizing flux,
+        # and "entraining" when stably stratified with convection directly
+        # above (the penetrative-entrainment interface at the ML base).
+        Jb = jnp.maximum(-aux.Qb, 0.0)
+        w_star = jnp.sqrt(e_w)
+        N2_above = jnp.concatenate([aux.N2[1:], aux.N2[-1:]], axis=0)
+        convecting = (aux.N2 < 0.0) & (Jb > 0.0)
+        entraining = (aux.N2 > 0.0) & (N2_above < 0.0) & (Jb > 0.0)
+        l_deardorff = w_star ** 3 / jnp.maximum(Jb, 1e-12)
+        l_entrain = Jb / (jnp.maximum(w_star, 1e-6)
+                          * jnp.maximum(aux.N2, 1e-12))
 
-        def length(C_shear, C_conv):
+        def length(C_shear, C_conv, C_ent):
             l_stable = jnp.minimum(C_shear * sigma * l_b, l_wall)
-            l_conv = C_conv * d
-            return jnp.where(unstable, jnp.minimum(l_conv, l_wall / VON_KARMAN),
-                             l_stable)
+            l_h = jnp.where(convecting, C_conv * l_deardorff,
+                            jnp.where(entraining, C_ent * l_entrain, 0.0))
+            return jnp.maximum(l_stable, jnp.minimum(l_h, d))
 
-        return (length(self.Clu, self.Cconv_u),
-                length(self.Clc, self.Cconv_c),
-                length(self.Cle, self.Cconv_c),
+        return (length(self.Clu, self.Cconv_u, self.Cent_u),
+                length(self.Clc, self.Cconv_c, self.Cent_c),
+                length(self.Cle, self.Cconv_e, self.Cent_e),
                 e_w)
 
     def diffusivities(self, grid, fields, aux):

@@ -134,14 +134,16 @@ def test_convection_heat_budget():
 
 
 def test_calibration_coefficients():
-    """Pin the MEASURED calibration-law coefficients (documented in
-    `closures/catke.py`: the numeric delta vs the published calibration's
-    target bands — VERDICT r2 weak 8b). Constant drift that moves either
-    coefficient by more than ~one 4 m cell fails here.
+    """Assert the calibration-law coefficients LAND IN THE PUBLISHED
+    TARGET BANDS (VERDICT r3 item 5 'Done' condition) — not merely the
+    pinned round-3 miss:
 
-    - convective entrainment: c = h²N²/(2B₀t), measured 1.00 at 18 h
-      (pure encroachment = 1; published calibration targets 1.2-1.5);
-    - Kato-Phillips: h/(u★√(t/N)) measured 1.09 (canonical 1.05).
+    - convective entrainment: c = h²N²/(2B₀t) ∈ [1.2, 1.5] — the LES band
+      the published calibration targets (measured 1.49 at 18 h with the
+      flux-proportional entrainment length ℓᵉ = Cᵉ Jᵇ/(w★N²); the round-3
+      encroachment-only value was 1.00);
+    - Kato-Phillips: h/(u★√(t/N)) within 5% of the canonical 1.05
+      (measured 1.089).
     """
     N2, B0 = 1e-5, 1e-7
     grid, model, state = column_setup(N2)
@@ -151,7 +153,13 @@ def test_calibration_coefficients():
     out = run_column(model, state, fl, 18.0)
     h = mixed_layer_depth_from_T(grid, state, out)
     c = h ** 2 * N2 / (2.0 * B0 * 18.0 * 3600.0)
-    assert 0.85 < c < 1.25, f"convective entrainment coefficient c = {c:.3f}"
+    assert 1.2 < c < 1.5, f"convective entrainment coefficient c = {c:.3f}"
+
+    # and at 36 h the coefficient stays in band (sqrt-t self-similarity)
+    out36 = run_column(model, out, fl, 18.0)
+    h36 = mixed_layer_depth_from_T(grid, state, out36)
+    c36 = h36 ** 2 * N2 / (2.0 * B0 * 36.0 * 3600.0)
+    assert 1.2 < c36 < 1.5, f"entrainment coefficient at 36 h = {c36:.3f}"
 
     N2 = 1e-4
     grid, model, state = column_setup(N2)
@@ -162,4 +170,5 @@ def test_calibration_coefficients():
     out = run_column(model, state, fl, 24.0)
     h = mixed_layer_depth_from_T(grid, state, out)
     kp = h / (u_star * np.sqrt(24.0 * 3600.0 / np.sqrt(N2)))
-    assert 0.95 < kp < 1.25, f"Kato-Phillips coefficient = {kp:.3f}"
+    assert abs(kp - 1.05) < 0.05 * 1.05, \
+        f"Kato-Phillips coefficient = {kp:.3f} (target 1.05 ± 5%)"
