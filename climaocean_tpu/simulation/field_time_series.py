@@ -42,7 +42,8 @@ class FieldTimeSeries:
     def __init__(self, dir, prefix, name, backend=None):
         self.dir, self.prefix, self.name = dir, prefix, name
         self.backend = backend or InMemory()
-        pat = re.compile(rf"{re.escape(prefix)}_part(\d+)\.npz$")
+        # parts may be .npz (default) or .nc (`FieldWriter(format="netcdf")`)
+        pat = re.compile(rf"{re.escape(prefix)}_part(\d+)\.(npz|nc)$")
         parts = sorted((int(m.group(1)), os.path.join(dir, f))
                        for f in os.listdir(dir) if (m := pat.match(f)))
         if not parts:
@@ -51,12 +52,20 @@ class FieldTimeSeries:
         # record spans: times per part (loading only the 'time' key)
         self._starts, times = [], []
         for p in self._paths:
-            with np.load(p) as f:
-                t = np.atleast_1d(np.asarray(f["time"]))
+            t = np.atleast_1d(self._read_key(p, "time"))
             self._starts.append(len(times))
             times.extend(t.tolist())
         self.times = np.asarray(times)
         self._cache: OrderedDict[int, np.ndarray] = OrderedDict()
+
+    @staticmethod
+    def _read_key(path, name):
+        if path.endswith(".nc"):
+            from ..data.netcdf import open_netcdf
+            with open_netcdf(path) as nc:
+                return np.asarray(nc.variables[name][...])
+        with np.load(path) as f:
+            return np.asarray(f[name])
 
     def __len__(self):
         return len(self.times)
@@ -82,8 +91,7 @@ class FieldTimeSeries:
     def _load_part(self, i):
         arr = self._cache.get(i)
         if arr is None:
-            with np.load(self._paths[i]) as f:
-                arr = np.asarray(f[self.name])
+            arr = self._read_key(self._paths[i], self.name)
             self._cache[i] = arr
             while len(self._cache) > self._max_parts():
                 self._cache.popitem(last=False)
