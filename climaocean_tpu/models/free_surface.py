@@ -201,6 +201,20 @@ def _substep_barotropic_pallas(bt, grid, GU, GV, dt_stage, substeps, g,
     return averaged, final
 
 
+def _use_block_kernel():
+    """Gate for the Pallas BLOCK kernel inside the padded path (VERDICT r3
+    items 1+2): replaces each deferred-fill block's ~12·k XLA ops with one
+    VMEM-resident kernel, composing with ANY halo fill between blocks —
+    the shard_map ppermute exchange and the single-device fills (incl. the
+    tripolar fold) alike. CLIMAOCEAN_PALLAS_BAROTROPIC_BLOCK=0/1 forces."""
+    import os
+    env = os.environ.get("CLIMAOCEAN_PALLAS_BAROTROPIC_BLOCK")
+    if env is not None:
+        return env not in ("", "0")
+    from ..advection.tracer import _use_pallas
+    return _use_pallas()
+
+
 def _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
                                fill_halos_2d, g, fill_U=None, fill_V=None):
     H_c, H_u, H_v = column_depths(grid)
@@ -245,18 +259,46 @@ def _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
     # mid-substep or interior transports at the subdomain edge read stale η
     mid_fill = grid.H < 2
 
+    # Pallas block kernel: the k_defer inner substeps in ONE VMEM-resident
+    # kernel per block (semantics = this loop verbatim: roll-wrap on the
+    # padded tile, masks folded into the coefficients — exact because U/η
+    # enter masked). Works under shard_map (the fills below are the
+    # ppermute exchange) and on any single-device grid (y-slab split when
+    # the tile outgrows VMEM) — VERDICT r3 items 1+2.
+    use_block = not mid_fill and _use_block_kernel()
+    if use_block:
+        from .pallas_barotropic import barotropic_block_pallas, block_slabs
+        n_slabs = block_slabs(bt.eta.shape[-2], bt.eta.shape[-1])
+        if n_slabs == 0:
+            use_block = False
+        else:
+            AU2 = -dtau * g * H_u / grid.dx_fc * wet2_u
+            BU2 = dtau * GU * wet2_u
+            AV2 = -dtau * g * H_v / grid.dy_cf * wet2_v
+            BV2 = dtau * GV * wet2_v
+            R2 = dtau * wet2_c / grid.az_cc
+            blk_coeffs = (AU2, BU2, AV2, BV2, grid.dy_fc, grid.dx_cf, R2)
+
     def body(carry, we_block):
         eta, U, V, eta_a, U_a, V_a, U_e, V_e = carry
-        for j in range(k_defer):
-            we = we_block[j]
-            U_e = U_e + we * U      # entering U: the one the η update uses
-            V_e = V_e + we * V
-            eta = (eta - dtau * barotropic_divergence(U, V, grid)) * wet2_c
-            if mid_fill:
-                eta = fill_halos_2d(eta) * wet2_c
-            U = (U + dtau * (-g * H_u * dxf(eta) / grid.dx_fc + GU)) * wet2_u
-            V = (V + dtau * (-g * H_v * dyf(eta) / grid.dy_cf + GV)) * wet2_v
-            eta_a, U_a, V_a = eta_a + w * eta, U_a + w * U, V_a + w * V
+        if use_block:
+            (eta, U, V, eta_a, U_a, V_a, U_e, V_e) = barotropic_block_pallas(
+                (eta, U, V, eta_a, U_a, V_a, U_e, V_e), blk_coeffs,
+                we_block, k_defer, M, with_eff=True, n_slabs=n_slabs)
+        else:
+            for j in range(k_defer):
+                we = we_block[j]
+                U_e = U_e + we * U   # entering U: the one the η update uses
+                V_e = V_e + we * V
+                eta = (eta - dtau * barotropic_divergence(U, V, grid)) \
+                    * wet2_c
+                if mid_fill:
+                    eta = fill_halos_2d(eta) * wet2_c
+                U = (U + dtau * (-g * H_u * dxf(eta) / grid.dx_fc + GU)) \
+                    * wet2_u
+                V = (V + dtau * (-g * H_v * dyf(eta) / grid.dy_cf + GV)) \
+                    * wet2_v
+                eta_a, U_a, V_a = eta_a + w * eta, U_a + w * U, V_a + w * V
         # halo-fill BEFORE masking: masks are defined on the padded arrays
         # (dry in bounded-direction halos), so masking last keeps wall
         # transports exactly zero — replicated halo values must never

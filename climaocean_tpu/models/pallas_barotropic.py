@@ -246,3 +246,133 @@ def barotropic_window_pallas(eta0, U0, V0, AU, BU, AV, BV, CU, CV, R, M,
         s = outs[n_out]
         return main + (s[0, :nx], s[1, :nx], s[2, :nx])
     return main
+
+
+# --------------------------------------------------------------------------
+# block-substep kernel (distributed tiles + VMEM-oversize single-device)
+# --------------------------------------------------------------------------
+#
+# The whole-window kernel above needs the full 2-D state VMEM-resident for
+# all M substeps — impossible under shard_map (the per-substep ppermute
+# exchange can't live inside one kernel) and for ≥1/4° tripolar
+# single-device state (VERDICT r3 items 1+2). The block kernel runs
+# k = (H−1)//2 substeps — exactly the deferred-fill cadence the padded XLA
+# path already proved exact (`free_surface._substep_barotropic_padded`) —
+# on the PADDED tile between halo fills: under shard_map the fill is the
+# ppermute exchange, single-device it is `fill_halos` (incl. the tripolar
+# fold). Semantics are the padded path's inner loop verbatim (roll-wrap at
+# the padded extents IS what `jnp.roll` does there; masks folded into the
+# coefficients), so per-tile compute collapses from ~12 HBM-bound XLA ops
+# per substep to one VMEM-resident kernel per block. Oversize tiles split
+# into y-slabs with 2k ghost rows (one substep consumes 2 rings).
+
+
+def _block_kernel(eta_ref, U_ref, V_ref, ea_ref, Ua_ref, Va_ref,
+                  Ue_ref, Ve_ref,
+                  AU_ref, BU_ref, AV_ref, BV_ref, CU_ref, CV_ref, R_ref,
+                  we_ref, *out_refs, k, m, n, M, with_eff):
+    """k substeps on a padded tile; ``m``/``n`` are the REAL (wrap)
+    extents — lanes/sublanes beyond are dead padding. ``we_ref``: (8,)
+    SMEM effective-transport weights for the k substeps of this block."""
+    ft = eta_ref.dtype
+    AU = AU_ref[...]
+    BU = BU_ref[...]
+    AV = AV_ref[...]
+    BV = BV_ref[...]
+    CU = CU_ref[...]
+    CV = CV_ref[...]
+    R = R_ref[...]
+    w = jnp.asarray(1.0 / M, ft)
+
+    eta, U, V = eta_ref[...], U_ref[...], V_ref[...]
+    ea, Ua, Va = ea_ref[...], Ua_ref[...], Va_ref[...]
+    if with_eff:
+        Ue, Ve = Ue_ref[...], Ve_ref[...]
+    for j in range(k):
+        if with_eff:
+            we = we_ref[j]
+            Ue = Ue + we * U
+            Ve = Ve + we * V
+        qx = CU * U
+        qy = CV * V
+        eta = eta - R * ((_xp1(qx, n) - qx) + (_yp1(qy, m) - qy))
+        U = U + AU * (eta - _xm1(eta, n)) + BU
+        V = V + AV * (eta - _ym1(eta, m)) + BV
+        ea, Ua, Va = ea + w * eta, Ua + w * U, Va + w * V
+    outs = (eta, U, V, ea, Ua, Va) + ((Ue, Ve) if with_eff else ())
+    for ref, val in zip(out_refs, outs):
+        ref[...] = val
+
+
+def _block_call(arrs, coeffs, we_block, k, m, n, M, with_eff):
+    """One pallas call on (already slab-cut or whole) padded arrays."""
+    mp, np_ = arrs[0].shape
+    m_t = -(-mp // 8) * 8
+    n_t = -(-np_ // 128) * 128
+
+    def pad(a):
+        return jnp.pad(a, ((0, m_t - mp), (0, n_t - np_)))
+
+    n_state = len(arrs)
+    ins = [pad(a) for a in arrs] + [pad(a) for a in coeffs] \
+        + [jnp.pad(we_block.astype(arrs[0].dtype), (0, 8 - k))]
+    sd = jax.ShapeDtypeStruct((m_t, n_t), arrs[0].dtype)
+    outs = pl.pallas_call(
+        partial(_block_kernel, k=k, m=m, n=n, M=M, with_eff=with_eff),
+        out_shape=[sd] * n_state,
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(arrs)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(coeffs)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_state,
+        input_output_aliases={i: i for i in range(n_state)},
+    )(*ins)
+    return tuple(o[:mp, :np_] for o in outs)
+
+
+def block_slabs(nyp, nxp, n_state=8, n_coeff=7, itemsize=4, budget=None):
+    """Number of y-slabs needed for the block kernel to fit VMEM (live ≈
+    state in+out (aliased, counted twice to be safe vs Mosaic accounting)
+    + coefficients + ~6 loop temporaries)."""
+    if budget is None:
+        budget = _VMEM_LIMIT
+    n_live = 2 * n_state + n_coeff + 6
+    nx_t = -(-nxp // 128) * 128
+    slabs = 1
+    while slabs < 32:
+        ny_t = -(-(-(-nyp // slabs)) // 8) * 8 + 8   # + ghost-row overhead
+        if n_live * ny_t * nx_t * itemsize <= budget:
+            return slabs
+        slabs *= 2
+    return 0
+
+
+def barotropic_block_pallas(state, coeffs, we_block, k, M, with_eff=True,
+                            n_slabs=1):
+    """Advance one deferred-fill block (k substeps) of the padded-path
+    barotropic loop in Pallas. ``state`` = (eta, U, V, eta_a, U_a, V_a
+    [, U_eff, V_eff]) padded tiles; ``coeffs`` = (AU, BU, AV, BV, CU, CV,
+    R) with wet masks folded; ``we_block``: (k,) entering-transport
+    weights. Wrap semantics = `jnp.roll` on the padded arrays (the XLA
+    path's); callers fill halos between blocks. ``n_slabs`` > 1 splits the
+    tile into y-slabs with 2k ghost rows each (stitched interiors are
+    exact; ghost rows are recomputed garbage discarded at stitch)."""
+    nyp, nxp = state[0].shape
+    if n_slabs <= 1:
+        return _block_call(state, coeffs, we_block, k, nyp, nxp, M, with_eff)
+    G = 2 * k
+    hs = -(-nyp // n_slabs)
+    rows = jnp.arange(nyp)
+    out_parts = [[] for _ in state]
+    for s in range(n_slabs):
+        y0, y1 = s * hs, min((s + 1) * hs, nyp)
+        take = jnp.mod(jnp.arange(y0 - G, y1 + G), nyp)
+        cut_in = [jnp.take(a, take, axis=0) for a in state]
+        cut_co = [jnp.take(a, take, axis=0) for a in coeffs]
+        res = _block_call(cut_in, cut_co, we_block, k,
+                          (y1 - y0) + 2 * G, nxp, M, with_eff)
+        for lst, r in zip(out_parts, res):
+            lst.append(r[G:G + (y1 - y0)])
+    del rows
+    return tuple(jnp.concatenate(p, axis=0) for p in out_parts)

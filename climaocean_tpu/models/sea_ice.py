@@ -271,10 +271,16 @@ def evp_dynamics(model, ice, ocean_state, atmos, dt):
 
     # fused Pallas window (pallas_evp): the ENTIRE substep loop in one
     # kernel with the 2-D state VMEM-resident; tripolar fold handled
-    # in-kernel via the permutation-matmul mirror. XLA scan otherwise.
+    # in-kernel via the permutation-matmul mirror. Where the window can't
+    # run (shard_map tiles, VMEM-oversize grids), the BLOCK kernel fuses
+    # k = H//3 substeps between halo fills instead (VERDICT r3 items 1+2).
+    # XLA scan otherwise.
     if _use_pallas_evp(grid):
         return _evp_pallas(model, ice, grid, P, m_u, m_v, active_u,
                            active_v, tau_ax, tau_ay, uo, vo, f_u, f_v, dt)
+    if _use_evp_block(grid, model.substeps):
+        return _evp_block(model, ice, grid, P, m_u, m_v, active_u,
+                          active_v, tau_ax, tau_ay, uo, vo, f_u, f_v, dt)
 
     Cd_io = CD_IO
     alpha = model.evp_alpha
@@ -396,6 +402,71 @@ def _use_pallas_evp(grid):
         return False
     from .pallas_evp import evp_fits_vmem
     return evp_fits_vmem(grid.Ny, grid.Nx)
+
+
+def _use_evp_block(grid, substeps):
+    """Gate for the BLOCK EVP kernel (k = H//3 substeps per kernel between
+    halo fills): TPU backend (or CLIMAOCEAN_PALLAS_EVP_BLOCK=1/0 forces),
+    periodic-x bounded-y grids, substep count divisible into blocks. Works
+    under shard_map (the fill between blocks is the ppermute exchange) and
+    on VMEM-oversize grids (y-slab split) — exactly the compositions the
+    whole-window kernel can't cover."""
+    import os
+
+    env = os.environ.get("CLIMAOCEAN_PALLAS_EVP_BLOCK")
+    if env is not None:
+        on = env not in ("", "0")
+    else:
+        from ..advection.tracer import _use_pallas
+        on = _use_pallas()
+    if not on:
+        return False
+    if not grid.periodic_x or grid.periodic_y:
+        return False
+    from .pallas_evp import evp_block_slabs
+    if evp_block_slabs(grid.Nyp, grid.Nxp) == 0:
+        return False
+    return substeps % max(1, grid.H // 3) == 0
+
+
+def _evp_block(model, ice, grid, P, m_u, m_v, active_u, active_v,
+               tau_ax, tau_ay, uo, vo, f_u, f_v, dt):
+    """Block-kernel mEVP: the XLA scan with each block of k substeps fused
+    into one Pallas kernel on the padded tile (identical update + masking;
+    u/v halo fills — incl. the tripolar fold or, under shard_map, the
+    ppermute exchange — run between blocks; stress halos stay prognostic,
+    matching the XLA path's contract)."""
+    from .pallas_evp import evp_block_pallas, evp_block_slabs
+
+    uo_u = mxf(uo)
+    vo_v = myf(vo)
+    consts = (ice["u"], ice["v"], P, dt / jnp.maximum(m_u, 1.0),
+              dt / jnp.maximum(m_v, 1.0), active_u, active_v,
+              tau_ax, tau_ay, uo_u, vo_v, myc(vo_v), mxc(uo_u),
+              dt * f_u, dt * f_v,
+              1.0 / grid.dx_cc, 1.0 / grid.dy_cc,
+              1.0 / grid.dx_ff, 1.0 / grid.dy_ff,
+              1.0 / grid.dx_fc, 1.0 / grid.dy_fc,
+              1.0 / grid.dy_cf, 1.0 / grid.dx_cf)
+    k = max(1, grid.H // 3)
+    n_slabs = evp_block_slabs(grid.Nyp, grid.Nxp)
+
+    def body(carry, _):
+        u, v, s1, s2, s12 = evp_block_pallas(
+            carry, consts, k, model.evp_alpha, model.evp_beta,
+            model.e_ellipse ** 2, n_slabs=n_slabs)
+        u = fill_halos(u, grid, "u", vector=True) * active_u
+        v = fill_halos(v, grid, "v", vector=True) * active_v
+        return (u, v, s1, s2, s12), None
+
+    z = jnp.zeros_like(ice["thickness"])
+    init = (ice["u"], ice["v"], ice.get("sigma1", z), ice.get("sigma2", z),
+            ice.get("sigma12", z))
+    (u, v, s1, s2, s12), _ = jax.lax.scan(body, init, None,
+                                          length=model.substeps // k)
+    tau_iox, tau_ioy = _ice_ocean_stress(u, v, uo, vo)
+    return dict(ice, u=u, v=v, sigma1=s1, sigma2=s2, sigma12=s12), \
+        tau_iox, tau_ioy
 
 
 def _evp_pallas(model, ice, grid, P, m_u, m_v, active_u, active_v,

@@ -145,3 +145,87 @@ def test_evp_pallas_full_step(monkeypatch):
         y = np.asarray(b[name])[H:H + Ny, H:H + Nx]
         scale = max(np.abs(y).max(), 1e-10)
         assert np.abs(x - y).max() / scale < 1e-4, name
+
+
+def _run_block(model, ice, ostate, atmos, on, monkeypatch):
+    monkeypatch.setenv("CLIMAOCEAN_PALLAS_EVP", "0")        # window off
+    monkeypatch.setenv("CLIMAOCEAN_PALLAS_EVP_BLOCK", "1" if on else "0")
+    fn = jax.jit(lambda i, o: si.evp_dynamics(model, i, o, atmos, 1200.0))
+    return fn(ice, ostate)
+
+
+@pytest.mark.parametrize("kind", ["latlon", "tripolar"])
+def test_evp_block_parity(kind, monkeypatch):
+    """BLOCK kernel (k = H//3 substeps per kernel between fills) vs the
+    XLA scan. At H=4, k=1 — the fill cadence is identical to the XLA
+    path, so parity is the kernel arithmetic alone."""
+    grid = _latlon_grid() if kind == "latlon" else _tripolar()
+    model, ice, ostate, atmos = _case(grid, seed=7,
+                                      icy_lat=50.0 if kind == "latlon" else 40.0)
+    a_ice, a_tx, a_ty = _run_block(model, ice, ostate, atmos, True,
+                                   monkeypatch)
+    b_ice, b_tx, b_ty = _run_block(model, ice, ostate, atmos, False,
+                                   monkeypatch)
+    H, Ny, Nx = grid.H, grid.Ny, grid.Nx
+
+    def interior(x):
+        return np.asarray(x)[..., H:H + Ny, H:H + Nx]
+
+    for name in ("u", "v", "sigma1", "sigma2", "sigma12"):
+        x, y = interior(a_ice[name]), interior(b_ice[name])
+        scale = max(np.abs(y).max(), 1e-10)
+        assert np.abs(x - y).max() / scale < 5e-5, \
+            f"{kind} {name}: {np.abs(x - y).max() / scale:.2e}"
+    for name, x, y in (("tau_x", a_tx, b_tx), ("tau_y", a_ty, b_ty)):
+        xs, ys = interior(x), interior(y)
+        scale = max(np.abs(ys).max(), 1e-10)
+        assert np.abs(xs - ys).max() / scale < 5e-5, f"{kind} {name}"
+
+
+def test_evp_block_deferred_fill_parity(monkeypatch):
+    """k = 2 (H = 7): the u/v fills between kernels are DEFERRED within
+    the 3-ring-per-substep budget — interior physics stay within stencil
+    tolerance of the fill-every-substep XLA path."""
+    grid = latitude_longitude_grid((32, 16, 3), longitude=(-180, 180),
+                                   latitude=(40, 80), z=(-500.0, 0.0),
+                                   halo=7)
+    model, ice, ostate, atmos = _case(grid, seed=9, icy_lat=50.0)
+    assert max(1, grid.H // 3) == 2
+    a_ice, _, _ = _run_block(model, ice, ostate, atmos, True, monkeypatch)
+    b_ice, _, _ = _run_block(model, ice, ostate, atmos, False, monkeypatch)
+    H, Ny, Nx = grid.H, grid.Ny, grid.Nx
+    for name in ("u", "v", "sigma1", "sigma12"):
+        x = np.asarray(a_ice[name])[..., H:H + Ny, H:H + Nx]
+        y = np.asarray(b_ice[name])[..., H:H + Ny, H:H + Nx]
+        scale = max(np.abs(y).max(), 1e-10)
+        assert np.abs(x - y).max() / scale < 5e-4, \
+            f"{name}: {np.abs(x - y).max() / scale:.2e}"
+
+
+def test_evp_block_slab_split_is_exact(monkeypatch):
+    """y-slab decomposition returns identical interiors (same fp ops on
+    the same values in the ghost-extended slabs)."""
+    from climaocean_tpu.models.pallas_evp import evp_block_pallas
+
+    grid = _latlon_grid()
+    model, ice, ostate, atmos = _case(grid, seed=13, icy_lat=50.0)
+    rng = np.random.default_rng(2)
+    shp = (grid.Nyp, grid.Nxp)
+
+    def r(s=1.0):
+        return jnp.asarray((s * rng.standard_normal(shp)).astype(np.float32))
+
+    state = tuple(r(0.1) for _ in range(5))
+    consts = (r(0.1), r(0.1), jnp.abs(r(1e4)), jnp.abs(r(1e-4)),
+              jnp.abs(r(1e-4)), jnp.abs(r()) > 0.5, jnp.abs(r()) > 0.5,
+              r(0.1), r(0.1), r(0.1), r(0.1), r(0.1), r(0.1),
+              r(1e-4), r(1e-4)) + tuple(jnp.abs(r(1e-5)) + 1e-6
+                                        for _ in range(8))
+    consts = tuple(c.astype(jnp.float32) for c in consts)
+    one = evp_block_pallas(state, consts, 1, 500.0, 500.0, 4.0, n_slabs=1)
+    two = evp_block_pallas(state, consts, 1, 500.0, 500.0, 4.0, n_slabs=2)
+    for a, b in zip(one, two):
+        # same fp ops on the same values; tolerance covers backend
+        # reassociation across the different padded slab shapes (~1 ulp)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
