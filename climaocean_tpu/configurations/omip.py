@@ -175,6 +175,7 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
                     flux_configuration="default", with_sea_ice=True,
                     sea_ice_dynamics=True, normalize_salinity=True,
                     salinity_restoring=True, piston_velocity=0.5,
+                    restoring=None,
                     diagnostics=True, output_dir="output",
                     forcing_end_time=None, forcing_dir=None, staging_dir=None,
                     time_indices_in_memory=240, repeat_year=False,
@@ -219,9 +220,34 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
         # additional surface flux (reference `additional_surface_fluxes`,
         # `omip_simulation.jl:507-523`)
         from ..data.restoring import woa_salinity_restoring
-        restoring = woa_salinity_restoring(grid, piston_velocity)
+        sss = woa_salinity_restoring(grid, piston_velocity)
         ocean_model = dataclasses.replace(
-            ocean_model, closures=ocean_model.closures + (restoring,))
+            ocean_model, closures=ocean_model.closures + (sss,))
+
+    if restoring is not None:
+        # interior time-series nudging — the reference's
+        # `DatasetRestoring(metadata, arch; rate, time_indices_in_memory)`
+        # attached through the forcing path. Accepts a built
+        # `TimeVaryingDatasetRestoring`, a `Metadata` date range, or a dict
+        # of `dataset_restoring` kwargs (metadata=..., rate=...,
+        # time_indices_in_memory=...). The run loop rotates its device
+        # window automatically at dispatch boundaries
+        # (`models.coupled.make_forcing_resolver`).
+        from ..data.restoring import (TimeVaryingDatasetRestoring,
+                                      dataset_restoring)
+        items = restoring if isinstance(restoring, (list, tuple)) \
+            else [restoring]
+        built = []
+        for r in items:
+            if isinstance(r, TimeVaryingDatasetRestoring):
+                built.append(r)
+            elif isinstance(r, dict):
+                built.append(dataset_restoring(grid, **r))
+            else:
+                built.append(dataset_restoring(grid, r,
+                                               time_indices_in_memory=2))
+        ocean_model = dataclasses.replace(
+            ocean_model, closures=ocean_model.closures + tuple(built))
 
     sea_ice = None
     if with_sea_ice:
@@ -239,8 +265,13 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
         from ..data.staging import JRA55DataStagingCallback
         staging_cb = JRA55DataStagingCallback(forcing_dir, staging_dir)
         forcing_dir = staging_dir
+    # forcing must cover the whole run: with stop_iteration-only runs the
+    # end time is iteration-derived (a clamped window would freeze the
+    # diurnal/seasonal cycle past its edge)
+    run_end = stop_time if stop_time is not None else \
+        (stop_iteration * dt if stop_iteration is not None else 30 * days)
     atmos, prefetcher = omip_forcing(
-        grid, 0.0, forcing_end_time or (stop_time or 30 * days) + days,
+        grid, 0.0, forcing_end_time or run_end + days,
         forcing_dir=forcing_dir,
         time_indices_in_memory=time_indices_in_memory,
         repeat_year=repeat_year)

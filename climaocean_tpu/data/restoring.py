@@ -87,6 +87,9 @@ class TimeVaryingDatasetRestoring:
         tt = jnp.asarray(t, dtype=self.times.dtype)
         if self.period is not None:
             tt = jnp.mod(tt, jnp.asarray(self.period, self.times.dtype))
+            # wrap-aware: a rotated December→January window stores unwrapped
+            # times (t_jan + period); map early-year t into that range
+            tt = jnp.where(tt < self.times[0], tt + self.period, tt)
         n = self.times.shape[0]
         i1 = jnp.clip(jnp.searchsorted(self.times, tt), 1, n - 1)
         i0 = i1 - 1
@@ -106,22 +109,45 @@ class TimeVaryingDatasetRestoring:
         the series loader (no-op when ``t`` is inside the current window,
         or when the restoring was built from raw arrays). Returns a new
         restoring with the SAME shapes, so the jitted step's cache hits —
-        the atmosphere-prefetcher pattern applied to restoring."""
+        the atmosphere-prefetcher pattern applied to restoring. Called
+        automatically at every dispatch boundary by the run loop
+        (`models.coupled._with_forcing` / `parallel.shard.resolve_model`);
+        the covered-window check is pure host arithmetic against bounds
+        cached on the loader — no device sync per dispatch.
+
+        Climatological (``period``) series wrap: a window reaching past the
+        last slab continues into the first slabs of the next cycle with
+        unwrapped times (December → January + period), so the bracketing
+        interpolation is correct across the year seam (the reference's
+        `Cyclical()` FieldTimeSeries behavior)."""
         if self.metadata is None:
             return self
-        tt = float(t) % float(self.period) if self.period else float(t)
-        lo, hi = float(self.times[0]), float(self.times[-1])
-        if lo <= tt <= hi:
+        ldr = self.metadata
+        period = float(self.period) if self.period else None
+        tt = float(t) % period if period else float(t)
+        lo, hi = getattr(ldr, "loaded_bounds", None) or \
+            (float(self.times[0]), float(self.times[-1]))
+        tt_eff = tt + period if (period and tt < lo) else tt
+        if lo <= tt_eff <= hi:
             return self
         import dataclasses as _dc
-        ldr = self.metadata
         n = self.targets.shape[0]
-        i1 = int(np.clip(np.searchsorted(ldr.times, tt), 1, len(ldr.times) - 1))
-        i0 = max(0, min(i1 - 1, len(ldr.times) - n))
+        nt = len(ldr.times)
+        if period:
+            # unwrapped series: slab i+nt is slab i one period later
+            ext = np.concatenate([ldr.times, ldr.times + period])
+            i1 = int(np.clip(np.searchsorted(ext, tt), 1, 2 * nt - 1))
+            i0 = i1 - 1
+        else:
+            i1 = int(np.clip(np.searchsorted(ldr.times, tt), 1, nt - 1))
+            i0 = max(0, min(i1 - 1, nt - n))
+            ext = ldr.times
         sel = list(range(i0, i0 + n))
+        times = ext[[min(s, len(ext) - 1) for s in sel]].astype(np.float32)
+        ldr.loaded_bounds = (float(times[0]), float(times[-1]))
         return _dc.replace(
-            self, targets=ldr.load(sel),
-            times=jnp.asarray(ldr.times[sel].astype(np.float32)))
+            self, targets=ldr.load([s % nt for s in sel]),
+            times=jnp.asarray(times))
 
 
 @partial(jax.tree_util.register_dataclass, data_fields=["target_surface"],
@@ -165,6 +191,9 @@ class _SeriesLoader:
         self.grid = grid
         self.dates = list(dates)
         self.times = np.asarray(times, np.float64)
+        # (t_lo, t_hi) of the currently-loaded window, kept host-side so
+        # the per-dispatch `refreshed` coverage check never syncs the device
+        self.loaded_bounds = None
 
     def load(self, indices):
         from .metadata import Metadatum, regrid_to_grid
@@ -213,6 +242,7 @@ def dataset_restoring(grid, metadata, rate=1.0 / (30 * days),
     n = min(time_indices_in_memory or len(dates), len(dates))
     tracer = tracer or {"temperature": "T", "salinity": "S"}.get(
         metadata.name, "T")
+    loader.loaded_bounds = (float(times[0]), float(times[n - 1]))
     return TimeVaryingDatasetRestoring(
         targets=loader.load(list(range(n))),
         times=jnp.asarray(times[:n].astype(np.float32)),

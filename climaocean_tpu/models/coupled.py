@@ -228,6 +228,41 @@ def _with_window(model, prefetcher, t, t_end):
     return dataclasses.replace(model, atmosphere=win), t - t_ref
 
 
+def rotate_restoring(closures, t):
+    """Rotate any time-varying restoring closures whose device window no
+    longer covers the absolute time ``t`` (`TimeVaryingDatasetRestoring.
+    refreshed` — a host-side no-op when covered). Returns the SAME tuple
+    object when nothing rotated, so callers can cache by identity."""
+    new = tuple(c.refreshed(t) if hasattr(c, "refreshed") else c
+                for c in closures)
+    return closures if all(a is b for a, b in zip(new, closures)) else new
+
+
+def make_forcing_resolver(model, prefetcher):
+    """Per-dispatch forcing resolution: atmosphere window swap (prefetcher)
+    + automatic restoring-window rotation — the reference's transparent
+    `DatasetRestoring(metadata; time_indices_in_memory)` time-series
+    serving (SURVEY.md §2b DataWrangling row). Returns ``resolve(t, t_end)
+    -> (model', t_relative)``. Both swaps keep array shapes, so the jitted
+    step's cache hits. The rotated closure tuple is carried between
+    dispatches (the loader's coverage bounds track the LATEST window, so
+    rotation must always start from the last rotated instance)."""
+    import dataclasses
+    cur = {"closures": getattr(model.ocean, "closures", ())}
+
+    def resolve(t, t_end):
+        m, t_eff = (model, t) if prefetcher is None else \
+            _with_window(model, prefetcher, t, t_end)
+        cur["closures"] = rotate_restoring(cur["closures"], t)
+        if cur["closures"] is not getattr(model.ocean, "closures", ()):
+            m = dataclasses.replace(
+                m, ocean=dataclasses.replace(m.ocean,
+                                             closures=cur["closures"]))
+        return m, t_eff
+
+    return resolve
+
+
 def make_multi_step_fn(model, n_steps, donate=False, prefetcher=None):
     """Donation is measured perf-NEUTRAL on the TPU target (94.1 vs 93.8
     ms/step on the 1/4-degree coupled benchmark with properly-flushed
@@ -235,10 +270,10 @@ def make_multi_step_fn(model, n_steps, donate=False, prefetcher=None):
     writers snapshotting the pre-step state), since HBM is not the
     constraint (the extra state copy is ~0.3 GB)."""
     jitted = _jit_multi_step(n_steps, donate)
+    resolve = make_forcing_resolver(model, prefetcher)
 
     def f(state, t0, dt):
-        m, t_eff = (model, t0) if prefetcher is None else \
-            _with_window(model, prefetcher, t0, t0 + n_steps * dt)
+        m, t_eff = resolve(t0, t0 + n_steps * dt)
         return jitted(m, state, t_eff, dt, t0 - t_eff)
 
     return f
@@ -250,13 +285,13 @@ def make_batched_step_fn(model, donate=False, prefetcher=None):
     cached per distinct ``n`` (the driver only ever uses one batch size,
     so this compiles once)."""
     cache = {}
+    resolve = make_forcing_resolver(model, prefetcher)
 
     def f(state, t, dt, n):
         fn = cache.get(n)
         if fn is None:
             fn = cache.setdefault(n, _jit_multi_step(n, donate))
-        m, t_eff = (model, t) if prefetcher is None else \
-            _with_window(model, prefetcher, t, t + n * dt)
+        m, t_eff = resolve(t, t + n * dt)
         return fn(m, state, t_eff, dt, t - t_eff)
 
     return f
@@ -270,10 +305,10 @@ def make_coupled_step_fn(model, donate=False, prefetcher=None):
     time is passed window-relative (multi-year runs keep full float32 time
     precision and bounded HBM — reference `atmosphere.jl:22-27`)."""
     jitted = jax.jit(coupled_step, donate_argnums=(1,) if donate else ())
+    resolve = make_forcing_resolver(model, prefetcher)
 
     def f(state, t, dt):
-        m, t_eff = (model, t) if prefetcher is None else \
-            _with_window(model, prefetcher, t, t + dt)
+        m, t_eff = resolve(t, t + dt)
         return jitted(m, state, t_eff, dt, t - t_eff)
 
     return f

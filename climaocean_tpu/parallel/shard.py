@@ -334,21 +334,35 @@ def _coupled_shard_builder(model, mesh: Mesh, donate=False, prefetcher=None):
     fold = _fold_params(grid, px)
 
     model_stacked = partition_tree(model, grid, py, px)
-    window_cache = {"id": None, "stacked": model_stacked, "t_ref": 0.0}
+    window_cache = {"id": None, "stacked": model_stacked, "t_ref": 0.0,
+                    "closures": getattr(model.ocean, "closures", ())}
 
     def resolve_model(t, t_end):
         """(model_stacked, t_relative) with the prefetcher window covering
-        [t, t_end] swapped in (same shapes every window → jit cache hits)."""
+        [t, t_end] swapped in, and any time-varying restoring windows
+        rotated (both re-partitioned into tiles on swap; same shapes every
+        window → jit cache hits)."""
+        from ..models.coupled import rotate_restoring
+
+        stacked = window_cache["stacked"]
+        rotated = rotate_restoring(window_cache["closures"], t)
+        if rotated is not window_cache["closures"]:
+            window_cache["closures"] = rotated
+            stacked = dataclasses.replace(
+                stacked, ocean=dataclasses.replace(
+                    stacked.ocean,
+                    closures=partition_tree(rotated, grid, py, px)))
+            window_cache["stacked"] = stacked
         if prefetcher is None:
-            return model_stacked, t
+            return stacked, t
         win, t_ref = prefetcher.window_for(t, t_end)
         if window_cache["id"] != id(win):
             win_stacked = partition_tree(win, grid, py, px)
             window_cache["id"] = id(win)
-            window_cache["stacked"] = dataclasses.replace(
-                model_stacked, atmosphere=win_stacked)
+            window_cache["stacked"] = stacked = dataclasses.replace(
+                stacked, atmosphere=win_stacked)
             window_cache["t_ref"] = t_ref
-        return window_cache["stacked"], t - window_cache["t_ref"]
+        return stacked, t - window_cache["t_ref"]
 
     def spec_for(a):
         return P(("y", "x")) if _is_stacked(a, nxp_loc) else P()

@@ -122,6 +122,64 @@ def test_time_varying_restoring_through_coupled_step():
     assert dT_early < 0.0 < dT_late, (dT_early, dT_late)
 
 
+def test_restoring_rotates_automatically_in_run_loop(tmp_path):
+    """VERDICT r3 item 4 'Done' condition: a multi-month run crossing a
+    restoring-window boundary changes the nudging target WITHOUT user
+    code. `omip_simulation(restoring=Metadata(...))` attaches the interior
+    nudging; `make_forcing_resolver` rotates its 2-slab device window at
+    dispatch boundaries."""
+    from climaocean_tpu.configurations.omip import omip_simulation
+    from climaocean_tpu.data.metadata import Metadata, WOAMonthly
+    from climaocean_tpu.data.restoring import TimeVaryingDatasetRestoring
+
+    meta = Metadata("temperature", dates=tuple(range(1, 13)),
+                    dataset=WOAMonthly(), dir=str(tmp_path))
+    # ~47 simulated days at Δt=2 h (f·Δt stays RK3-stable) crosses the
+    # Jan–Feb window's upper bound (mid-Feb, day ~45.6) near iteration 548
+    sim = omip_simulation("latlon", dt=7200.0, stop_iteration=560,
+                          with_sea_ice=False, diagnostics=False,
+                          salinity_restoring=False, restoring=meta,
+                          resolution=15.0, Nz=5, depth=3000.0,
+                          progress_interval=10000)
+    r0 = [c for c in sim.model.ocean.closures
+          if isinstance(c, TimeVaryingDatasetRestoring)][0]
+    t0_first = float(r0.times[0])
+    sim.run()
+    # the loader's window bounds advanced past the initial window
+    ldr = r0.metadata
+    assert ldr is not None and ldr.loaded_bounds[0] > t0_first, \
+        (ldr.loaded_bounds, t0_first)
+    # and the state is finite after the rotated-window dispatches
+    leaves = jax.tree_util.tree_leaves(sim.state)
+    assert not any(bool(jnp.isnan(l).any()) for l in leaves)
+
+
+def test_refreshed_wraps_december_to_january(tmp_path):
+    """Climatological wrap: rotating past mid-December loads a Dec→Jan
+    window with unwrapped times, and `target_at` interpolates across the
+    year seam instead of clamping."""
+    from climaocean_tpu.data.metadata import Metadata, WOAMonthly
+    from climaocean_tpu.data.restoring import dataset_restoring
+
+    grid = latitude_longitude_grid((12, 6, 3), z=(-500.0, 0.0), halo=4)
+    meta = Metadata("temperature", dates=tuple(range(1, 13)),
+                    dataset=WOAMonthly(), dir=str(tmp_path))
+    r = dataset_restoring(grid, meta, time_indices_in_memory=2)
+    year = 365.0 * 86400.0
+    month = year / 12.0
+    r2 = r.refreshed(11.8 * month)              # late December
+    assert float(r2.times[-1]) > year           # unwrapped into next Jan
+    # new-year time (0.2 month, early Jan) interpolates inside the window
+    H = grid.H
+    tgt_dec = np.asarray(r2.target_at(11.6 * month))[:, H + 2, H + 2]
+    tgt_jan = np.asarray(r2.target_at(0.2 * month))[:, H + 2, H + 2]
+    jan_slab = np.asarray(r2.targets[1])[:, H + 2, H + 2]
+    dec_slab = np.asarray(r2.targets[0])[:, H + 2, H + 2]
+    # early-Jan target is closer to the Jan slab than the Dec slab
+    assert np.abs(tgt_jan - jan_slab).sum() < np.abs(tgt_jan - dec_slab).sum()
+    assert not np.allclose(tgt_dec, tgt_jan)
+
+
 def test_dataset_restoring_builder_and_rotation(tmp_path):
     """`dataset_restoring(grid, Metadata(WOAMonthly, months...))` builds a
     bounded device window and `refreshed(t)` rotates it host-side with
