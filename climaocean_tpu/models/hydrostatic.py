@@ -208,16 +208,37 @@ def closure_aux(model, state, fluxes, t=0.0):
     grid = model.grid
     dz_f = grid.dz_f[:, None, None]
 
-    bfun = eos_mod.buoyancy if model.eos is None else model.eos.buoyancy
     zf3 = grid.z_f[:-1, None, None]                 # face k below cell k
-    b_up = bfun(state["S"], state["T"], zf3)        # cell k at face k
-    b_dn = bfun(shift_clamp(state["S"], Z, -1),     # cell k-1 at face k
-                shift_clamp(state["T"], Z, -1), zf3)
+    if model.eos is None or isinstance(model.eos,
+                                       eos_mod.TEOS10EquationOfState):
+        # every cell is evaluated at BOTH of its faces — split the 55-term
+        # polynomial into per-cell z-coefficients (one expensive (s,t)
+        # evaluation per cell) + two 3-FMA depth cubics. Bitwise-identical
+        # Horner association; halves the stage's dominant VPU cost.
+        kw = {} if model.eos is None else \
+            {"rho0": model.eos.rho0, "g": model.eos.g}
+        P = eos_mod.rho_anomaly_z_coefficients(state["S"], state["T"])
+        b_up = eos_mod.buoyancy_from_z_coefficients(P, zf3, **kw)
+        zup3 = grid.z_f[1:, None, None]             # face k+1 above cell k
+        b_own_upper = eos_mod.buoyancy_from_z_coefficients(P, zup3, **kw)
+        # cell k-1 at face k == cell (k-1)'s upper-face value; the bottom
+        # face closes with the bottom cell's own value (db[0] = 0, as the
+        # clamped shift produced before)
+        b_dn = jnp.concatenate([b_up[:1], b_own_upper[:-1]], axis=0)
+    else:
+        bfun = model.eos.buoyancy
+        b_up = bfun(state["S"], state["T"], zf3)    # cell k at face k
+        b_dn = bfun(shift_clamp(state["S"], Z, -1),  # cell k-1 at face k
+                    shift_clamp(state["T"], Z, -1), zf3)
+        b_own_upper = None
     db = b_up - b_dn                                # at faces 0..Nz-1
     N2 = jnp.concatenate([db / dz_f[:-1], jnp.zeros_like(db[:1])], axis=0)
 
     # cell k at face k+1 == b_dn[k+1]; top cell closes with its own face value
-    b_at_upper = jnp.concatenate([b_dn[1:], b_up[-1:]], axis=0)
+    if b_own_upper is not None:
+        b_at_upper = jnp.concatenate([b_own_upper[:-1], b_up[-1:]], axis=0)
+    else:
+        b_at_upper = jnp.concatenate([b_dn[1:], b_up[-1:]], axis=0)
     b = 0.5 * (b_up + b_at_upper)
 
     u_c = mxc(state["u"])

@@ -109,6 +109,38 @@ def rho_anomaly(SA, CT, z):
     return out
 
 
+def rho_anomaly_z_coefficients(SA, CT):
+    """(P0, P1, P2, P3)(SA, CT) with r'(SA, CT, z) = ((P3·h + P2)·h + P1)·h
+    + P0, h = −z/ZU — the (s,t) polynomials evaluated ONCE per point for
+    reuse at multiple depths. `closure_aux` evaluates every cell at both of
+    its faces (locally-referenced N²); with the plain `rho_anomaly` that is
+    two full 55-term evaluations per cell, with this split it is one
+    coefficient set plus two 3-FMA cubics — and the Horner association is
+    identical, so the results are BITWISE equal to `rho_anomaly`."""
+    s, t, _ = _normalized(SA, CT, 0.0)
+    out = []
+    for k in range(4):
+        tk = 0.0
+        jmax = max(j for (i, j, kk) in _EOS if kk == k)
+        for j in range(jmax, -1, -1):
+            sk = 0.0
+            imax = max((i for (i, jj, kk) in _EOS if kk == k and jj == j),
+                       default=-1)
+            for i in range(imax, -1, -1):
+                coef = _EOS.get((i, j, k), 0.0)
+                sk = sk * s + coef
+            tk = tk * t + sk
+        out.append(tk)
+    return tuple(out)
+
+
+def buoyancy_from_z_coefficients(P, z, rho0=RHO_REF, g=G_EARTH):
+    """Buoyancy at depth ``z`` from `rho_anomaly_z_coefficients` output."""
+    h = -z / _ZU
+    rp = ((P[3] * h + P[2]) * h + P[1]) * h + P[0]
+    return -g * (rp - rho0) / rho0
+
+
 def rho_reference_profile(z):
     """r0(z) [kg/m³]: the T/S-independent compressibility profile."""
     h = -z / _ZU
