@@ -181,12 +181,16 @@ def _write_forcing_files(dir, days=12.0, nlat=145, nlon=288):
     open(stamp, "w").close()
 
 
-def bench_file_forced(model, state, dt, nsteps, n_reps=8):
+def bench_file_forced(model, state, dt, nsteps, n_reps=24):
     """1/4° workload with the atmosphere served from 3-hourly NetCDF files
-    through `PrefetchingAtmosphere.from_files` (time_indices_in_memory=16
-    = 2 days, so window rotations land INSIDE the timed reps — each
-    dispatch advances 20×20 min ≈ 6.7 h). Returns MEAN seconds/step over
-    ``n_reps`` dispatches (mean, not best: the rotation cost is the point)."""
+    through `PrefetchingAtmosphere.from_files`. Window = 48 indices
+    (6 days — the production-shaped ratio of window compute to build cost
+    scaled to the bench length), refill from 30% in, so one full rotation
+    falls INSIDE the timed reps (each dispatch advances 20×20 min ≈ 6.7 h
+    → a window lasts ~21 dispatches) with the build overlapping device
+    compute exactly as a production 30-day window does. Returns MEAN
+    seconds/step over ``n_reps`` dispatches (mean, not best: the
+    amortized+overlapped rotation cost is the point)."""
     import dataclasses
     import jax.numpy as jnp
 
@@ -197,7 +201,8 @@ def bench_file_forced(model, state, dt, nsteps, n_reps=8):
     _write_forcing_files(fdir)
     grid = model.ocean.grid
     pf = PrefetchingAtmosphere.from_files(grid, fdir,
-                                          time_indices_in_memory=16)
+                                          time_indices_in_memory=48,
+                                          refill_fraction=0.3)
     win, _ = pf.window_for(0.0)
     fmodel = dataclasses.replace(model, atmosphere=win)
     step = make_multi_step_fn(fmodel, nsteps, prefetcher=pf)

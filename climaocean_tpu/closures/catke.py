@@ -167,10 +167,13 @@ class CATKEVerticalDiffusivity:
         prod = jnp.concatenate([prod[:-1], (nu_w * aux.S2 - kap_w * aux.N2)[-2:-1]],
                                axis=0)
 
-        # dissipation length at centers
+        # dissipation length at centers; the top cell closes one-sided
+        # (a plain mzc would roll the BOTTOM face's N² into the top cell)
         e_c = jnp.maximum(e, self.minimum_tke)
         d_c = jnp.maximum(-grid.z_c[:, None, None], 1e-2)
-        N_c = jnp.sqrt(jnp.maximum(mzc(aux.N2[:-1]), 1e-12))
+        N2_c = jnp.concatenate([mzc(aux.N2[:-1])[:-1], aux.N2[-2:-1]],
+                               axis=0)
+        N_c = jnp.sqrt(jnp.maximum(N2_c, 1e-12))
         l_D = jnp.minimum(self.Cb * jnp.sqrt(2.0 * e_c) / N_c, VON_KARMAN * d_c)
         l_D = jnp.maximum(l_D, 1e-2)
 

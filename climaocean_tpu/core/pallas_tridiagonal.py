@@ -253,17 +253,19 @@ _VON_KARMAN = 0.4
 
 def _impl_catke_kernel(inv_dzc_ref, inv_dzf_ref, dt_ref, zf_ref, zc_ref,
                        e_ref, N2_ref, S2_ref, u_ref, v_ref, T_ref, S_ref,
-                       ustar_ref, wc_ref, wu_ref, wv_ref, ww_ref, isg2_ref,
-                       out_ref, *, nz, cat, nu0, kap0):
+                       ustar_ref, Jb_ref, nubg_ref, kapbg_ref,
+                       wc_ref, wu_ref, wv_ref, ww_ref, isg2_ref,
+                       out_ref, *, nz, cat):
     """`_impl_kernel` extended with CATKE (`closures/catke.py`): the
-    mixing lengths / eddy coefficients, shear+buoyancy TKE production,
-    linearized dissipation, and the implicit TKE solve run VMEM-resident
-    alongside the u/v/T/S solves, eliminating the separate XLA
-    `step_prognostics` pass (~2.5 ms/stage at 1/4°). Semantics match
+    mixing lengths / eddy coefficients (incl. the round-4 Deardorff
+    convective + penetrative-entrainment branches), shear+buoyancy TKE
+    production, linearized dissipation, and the implicit TKE solve run
+    VMEM-resident alongside the u/v/T/S solves, eliminating the separate
+    XLA `step_prognostics` pass. Semantics match
     `CATKEVerticalDiffusivity.{_lengths,diffusivities,step_prognostics}`
-    exactly (same clamps, same mzc endpoint handling, σ-free TKE matrix);
-    ``cat`` is the (static, frozen) closure dataclass, ``nu0``/``kap0``
-    constant background diffusivities from VerticalScalarDiffusivity."""
+    (same clamps and endpoint handling, σ-free TKE matrix); ``cat`` is the
+    (static, frozen) closure dataclass; ``nubg``/``kapbg`` are the summed
+    NON-CATKE face diffusivities (background/Ri-based/etc, built in XLA)."""
     dt = dt_ref[0]
     e = e_ref[...]
     N2 = N2_ref[...]
@@ -274,19 +276,23 @@ def _impl_catke_kernel(inv_dzc_ref, inv_dzf_ref, dt_ref, zf_ref, zc_ref,
     ww = ww_ref[...]
     isg2 = isg2_ref[...]
     ustar = ustar_ref[...]
+    Jb = Jb_ref[...]
     ft = e.dtype
     eps = jnp.asarray(1e-30, ft)
     VK = jnp.asarray(_VON_KARMAN, ft)
 
     # ---- CATKE face coefficients + production term ----------------------
+    # clamp-then-interpolate, exactly like `_lengths` (e is clamped per
+    # cell BEFORE the face mean)
+    ec = [jnp.maximum(e[k], cat.minimum_tke) for k in range(nz)]
     nu_f, kap_f, kape_f, X = [], [], [], []
     for k in range(nz + 1):
         if k == 0:
-            ew = jnp.maximum(e[0], cat.minimum_tke)
+            ew = ec[0]
         elif k == nz:
-            ew = jnp.maximum(e[nz - 1], cat.minimum_tke)
+            ew = ec[nz - 1]
         else:
-            ew = jnp.maximum(0.5 * (e[k - 1] + e[k]), cat.minimum_tke)
+            ew = 0.5 * (ec[k - 1] + ec[k])
         sqrt_2e = jnp.sqrt(2.0 * ew)
         N = jnp.sqrt(jnp.maximum(N2[k], 1e-12))
         l_b = cat.Cb * sqrt_2e / N
@@ -295,20 +301,28 @@ def _impl_catke_kernel(inv_dzc_ref, inv_dzf_ref, dt_ref, zf_ref, zc_ref,
         Ri = N2[k] / jnp.maximum(S2[k], 1e-12)
         sig = cat.sigma_minus + (1.0 - cat.sigma_minus) * 0.5 * (
             1.0 - jnp.tanh((Ri - cat.Ri_zero) / cat.Ri_width))
-        uns = N2[k] < 0.0
+        # convective / entrainment branches (closures/catke.py `_lengths`)
+        w_star = jnp.sqrt(ew)
+        N2_above = N2[k + 1] if k < nz else N2[nz]
+        convecting = (N2[k] < 0.0) & (Jb > 0.0)
+        entraining = (N2[k] > 0.0) & (N2_above < 0.0) & (Jb > 0.0)
+        l_deardorff = w_star ** 3 / jnp.maximum(Jb, 1e-12)
+        l_entrain = Jb / (jnp.maximum(w_star, 1e-6)
+                          * jnp.maximum(N2[k], 1e-12))
 
-        def length(C_shear, C_conv):
+        def length(C_shear, C_conv, C_ent):
             l_st = jnp.minimum(C_shear * sig * l_b, l_wall)
-            return jnp.where(uns, jnp.minimum(C_conv * d, l_wall / VK),
-                             l_st)
+            l_h = jnp.where(convecting, C_conv * l_deardorff,
+                            jnp.where(entraining, C_ent * l_entrain, 0.0))
+            return jnp.maximum(l_st, jnp.minimum(l_h, d))
 
-        sqrt_e = jnp.sqrt(ew)
-        nu_k = jnp.minimum(length(cat.Clu, cat.Cconv_u) * sqrt_e,
-                           cat.maximum_viscosity)
-        kap_k = jnp.minimum(length(cat.Clc, cat.Cconv_c) * sqrt_e,
-                            cat.maximum_tracer_diffusivity)
-        kape_k = jnp.minimum(length(cat.Cle, cat.Cconv_c) * sqrt_e,
-                             cat.maximum_tke_diffusivity)
+        sqrt_e = w_star
+        nu_k = jnp.minimum(length(cat.Clu, cat.Cconv_u, cat.Cent_u)
+                           * sqrt_e, cat.maximum_viscosity)
+        kap_k = jnp.minimum(length(cat.Clc, cat.Cconv_c, cat.Cent_c)
+                            * sqrt_e, cat.maximum_tracer_diffusivity)
+        kape_k = jnp.minimum(length(cat.Cle, cat.Cconv_e, cat.Cent_e)
+                             * sqrt_e, cat.maximum_tke_diffusivity)
         nu_f.append(nu_k)
         kap_f.append(kap_k)
         kape_f.append(kape_k)
@@ -353,8 +367,10 @@ def _impl_catke_kernel(inv_dzc_ref, inv_dzf_ref, dt_ref, zf_ref, zc_ref,
             outs.append(jnp.stack(xs[::-1]))
         return outs
 
-    nu_tot = [n + nu0 for n in nu_f]
-    kap_tot = [kp + kap0 for kp in kap_f]
+    nubg = nubg_ref[...]
+    kapbg = kapbg_ref[...]
+    nu_tot = [nu_f[k] + nubg[k] for k in range(nz + 1)]
+    kap_tot = [kap_f[k] + kapbg[k] for k in range(nz + 1)]
     u_out, = sweep(nu_tot, wu, [[u_ref[k] * wu[k] for k in range(nz)]],
                    isg2)
     v_out, = sweep(nu_tot, wv, [[v_ref[k] * wv[k] for k in range(nz)]],
@@ -365,7 +381,6 @@ def _impl_catke_kernel(inv_dzc_ref, inv_dzf_ref, dt_ref, zf_ref, zc_ref,
 
     # ---- TKE right-hand side + implicit solve ---------------------------
     one = jnp.ones_like(isg2)
-    dz_top = 1.0 / inv_dzc_ref[nz - 1]
     rhs_sfc = cat.CWu * ustar ** 3 * inv_dzc_ref[nz - 1]
     rhs, extra = [], []
     for k in range(nz):
@@ -391,8 +406,8 @@ def _impl_catke_kernel(inv_dzc_ref, inv_dzf_ref, dt_ref, zf_ref, zc_ref,
 
 def catke_block_vmem_bytes(nz, nx, by, itemsize=4):
     nx_t = -(-nx // 128) * 128
-    pipelined = 2 * (12 * nz + 8 + 5 * nz)       # ins + (5, nz) out
-    lists = 4 * (nz + 1) + 2 * nz                # face coeffs + rhs/extra
+    pipelined = 2 * (14 * nz + 10 + 5 * nz)      # ins + (5, nz) out
+    lists = 5 * (nz + 1) + 3 * nz                # face coeffs + rhs/extra
     sweeps = 4 * nz + 5 * nz                     # cp + dp chains
     return (pipelined + lists + sweeps) * by * nx_t * itemsize
 
@@ -406,12 +421,14 @@ def catke_choose_block(nz, nx, budget=None):
     return None
 
 
-def implicit_vertical_catke_pallas(cat, nu0, kap0, state, aux, grid, dt,
+def implicit_vertical_catke_pallas(cat, nu_bg, kap_bg, state, aux, grid, dt,
                                    inv_sig2=None, by=8):
-    """Fused implicit vertical step for a (CATKE + constant-scalar)
-    closure stack: diffusivities, TKE production/dissipation, and all
-    FIVE implicit solves (u, v, T, S, e) in one kernel. Returns
-    (u, v, T, S, e)."""
+    """Fused implicit vertical step for a CATKE closure stack: CATKE
+    diffusivities (round-4 convective/entrainment lengths), TKE
+    production/dissipation, and all FIVE implicit solves (u, v, T, S, e)
+    in one kernel. ``nu_bg``/``kap_bg``: summed face diffusivities of the
+    NON-CATKE closures ((Nz+1, Nyp, Nxp), built in XLA — background,
+    Henyey, Ri-based, ...). Returns (u, v, T, S, e)."""
     u = state["u"]
     nz, ny, nx = u.shape
     ny_t = -(-ny // by) * by
@@ -429,24 +446,26 @@ def implicit_vertical_catke_pallas(cat, nu0, kap0, state, aux, grid, dt,
     inv_dzc = jnp.where(grid.dz_c != 0, 1.0 / grid.dz_c, 0.0).astype(ft)
     inv_dzf = jnp.where(grid.dz_f != 0, 1.0 / grid.dz_f, 0.0).astype(ft)
     dt_arr = jnp.asarray([dt], ft)
+    Jb = jnp.maximum(-aux.Qb, 0.0).astype(ft)
 
     bs3 = lambda z: pl.BlockSpec((z, by, nx_t), lambda j: (0, j, 0))
     bs2 = pl.BlockSpec((by, nx_t), lambda j: (j, 0))
     n_tiles = ny_t // by
     x = pl.pallas_call(
-        partial(_impl_catke_kernel, nz=nz, cat=cat, nu0=float(nu0),
-                kap0=float(kap0)),
+        partial(_impl_catke_kernel, nz=nz, cat=cat),
         out_shape=jax.ShapeDtypeStruct((5, nz, ny_t, nx_t), ft),
         grid=(n_tiles,),
         interpret=jax.default_backend() == "cpu",
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
         + [bs3(nz), bs3(nz + 1), bs3(nz + 1), bs3(nz), bs3(nz), bs3(nz),
-           bs3(nz), bs2, bs3(nz), bs3(nz), bs3(nz), bs3(nz + 1), bs2],
+           bs3(nz), bs2, bs2, bs3(nz + 1), bs3(nz + 1),
+           bs3(nz), bs3(nz), bs3(nz), bs3(nz + 1), bs2],
         out_specs=pl.BlockSpec((5, nz, by, nx_t), lambda j: (0, 0, j, 0)),
     )(inv_dzc, inv_dzf, dt_arr, grid.z_f.astype(ft), grid.z_c.astype(ft),
       pad(state["e"]), pad(aux.N2), pad(aux.S2), pad(u), pad(state["v"]),
-      pad(state["T"]), pad(state["S"]), pad(aux.u_star), pad(grid.wet_c),
+      pad(state["T"]), pad(state["S"]), pad(aux.u_star), pad(Jb),
+      pad(nu_bg), pad(kap_bg), pad(grid.wet_c),
       pad(grid.wet_u), pad(grid.wet_v), pad(grid.wet_w), pad(inv_sig2))
     x = x[:, :, :ny, :nx]
     return x[0], x[1], x[2], x[3], x[4]

@@ -56,6 +56,136 @@ class PrescribedAtmosphere:
                                rain=f["rain"], snow=f["snow"])
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["times", "fields", "iy", "ix", "wy", "wx",
+                      "Ry", "Cx"],
+         meta_fields=["reference_height"])
+@dataclass(frozen=True)
+class InterpolatedAtmosphere:
+    """Forcing window stored at the FILE's NATIVE resolution with
+    on-device bilinear interpolation to the model grid inside `at_time`.
+
+    This is how the reference serves JRA55: the FieldTimeSeries window
+    lives on the JRA55 grid and the coupler interpolates the atmospheric
+    state to the ocean grid pointwise each coupling step (SURVEY.md §3.2
+    "interpolate prescribed atmosphere state to interface time"). Storing
+    model-resolution windows instead (the `PrescribedAtmosphere` path)
+    costs ~9 host regrids + a model-res device transfer PER TIME INDEX —
+    at 1/4° that is ~30 MB and ~100 ms of host work per 3-hour slab, which
+    outruns the single-core host long before it outruns the TPU. Here the
+    host ships ~0.15 MB per slab and the TPU does 4 gathers + a lerp per
+    field (~0.3 ms/step at 1/4°).
+
+    ``fields``: name -> (nt, nlat, nlon) native-grid slabs;
+    ``iy``/``ix``: (Nyp, Nxp) int32 lower-corner source indices at the
+    model's padded cell centers; ``wy``/``wx``: fractional weights toward
+    the upper corner (x wraps periodically, y clamps at the poles).
+
+    ``Ry``/``Cx``: on REGULAR destination grids (rows = latitude lines,
+    columns = constant longitude — every lat-lon config) the bilinear
+    sample is separable, and these dense weight matrices ((Nyp, nlat) and
+    (nlon, Nxp), 2 nnz per row/col) turn it into two small MXU matmuls —
+    per-point gathers lower catastrophically on TPU (measured +290 ms per
+    1/4° step via the gather path vs ~0.2 ms via the matmuls). None on
+    curvilinear (tripolar-cap) grids, where `at_time` falls back to the
+    gather form."""
+    times: jnp.ndarray
+    fields: dict
+    iy: jnp.ndarray
+    ix: jnp.ndarray
+    wy: jnp.ndarray
+    wx: jnp.ndarray
+    Ry: object = None
+    Cx: object = None
+    reference_height: float = 10.0
+
+    def at_time(self, t) -> AtmosphereState:
+        t = jnp.asarray(t, dtype=self.times.dtype)
+        n = self.times.shape[0]
+        i1 = jnp.clip(jnp.searchsorted(self.times, t), 1, n - 1)
+        i0 = i1 - 1
+        t0 = jnp.take(self.times, i0)
+        t1 = jnp.take(self.times, i1)
+        w = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-6), 0.0, 1.0)
+
+        if self.Ry is not None:
+            def sample(a):
+                f = (1.0 - w) * jnp.take(a, i0, axis=0) \
+                    + w * jnp.take(a, i1, axis=0)      # (nlat, nlon)
+                return jnp.dot(jnp.dot(self.Ry, f, precision="float32"),
+                               self.Cx, precision="float32")
+        else:
+            any_field = next(iter(self.fields.values()))
+            nlat, nlon = any_field.shape[-2:]
+            iyp = jnp.minimum(self.iy + 1, nlat - 1)
+            ixp = jnp.remainder(self.ix + 1, nlon)
+            w00 = (1.0 - self.wy) * (1.0 - self.wx)
+            w01 = (1.0 - self.wy) * self.wx
+            w10 = self.wy * (1.0 - self.wx)
+            w11 = self.wy * self.wx
+
+            def sample(a):
+                f = (1.0 - w) * jnp.take(a, i0, axis=0) \
+                    + w * jnp.take(a, i1, axis=0)      # (nlat, nlon)
+                return (w00 * f[self.iy, self.ix] + w01 * f[self.iy, ixp]
+                        + w10 * f[iyp, self.ix] + w11 * f[iyp, ixp])
+
+        f = {k: sample(v) for k, v in self.fields.items()}
+        return AtmosphereState(u=f["u"], v=f["v"], T=f["T"], q=f["q"],
+                               p=f["p"], Qsw_down=f["Qsw_down"],
+                               Qlw_down=f["Qlw_down"], rain=f["rain"],
+                               snow=f["snow"])
+
+
+def bilinear_sample_plan(grid, lat_src, lon_src):
+    """(iy, ix, wy, wx) numpy arrays for bilinear sampling of a regular
+    (lat_src, lon_src) CENTER grid at the model's padded cell centers —
+    the host half of `InterpolatedAtmosphere` (periodic in lon, clamped in
+    lat)."""
+    lat = np.asarray(grid.lat_cc, np.float64)
+    lon = np.asarray(grid.lon_cc, np.float64)
+    lat_src = np.asarray(lat_src, np.float64)
+    lon_src = np.asarray(lon_src, np.float64)
+    nlat, nlon = len(lat_src), len(lon_src)
+
+    pos_y = np.interp(lat, lat_src, np.arange(nlat))
+    iy = np.clip(np.floor(pos_y), 0, nlat - 2).astype(np.int32)
+    wy = np.clip(pos_y - iy, 0.0, 1.0)
+
+    lon_ext = np.concatenate([lon_src, lon_src[:1] + 360.0])
+    lo = (lon - lon_src[0]) % 360.0 + lon_src[0]
+    pos_x = np.interp(lo, lon_ext, np.arange(nlon + 1))
+    ix = (np.floor(pos_x).astype(np.int64) % nlon).astype(np.int32)
+    wx = np.clip(pos_x - np.floor(pos_x), 0.0, 1.0)
+    return iy, ix, wy.astype(np.float32), wx.astype(np.float32)
+
+
+def separable_sample_matrices(iy, ix, wy, wx, nlat, nlon, tol=1e-6):
+    """Dense (Ry, Cx) weight matrices for a REGULAR destination grid —
+    Ry (Nyp, nlat) with row weights, Cx (nlon, Nxp) with column weights —
+    such that ``Ry @ f @ Cx`` equals the bilinear gather sample. Returns
+    None when the sampling is not separable (indices/weights vary along
+    the other axis: curvilinear destinations)."""
+    if (np.abs(iy - iy[:, :1]).max() > 0 or np.abs(ix - ix[:1]).max() > 0
+            or np.abs(wy - wy[:, :1]).max() > tol
+            or np.abs(wx - wx[:1]).max() > tol):
+        return None
+    nyp, nxp = iy.shape
+    iy0 = iy[:, 0]
+    wy0 = wy[:, 0]
+    ix0 = ix[0]
+    wx0 = wx[0]
+    Ry = np.zeros((nyp, nlat), np.float32)
+    r = np.arange(nyp)
+    Ry[r, iy0] = 1.0 - wy0
+    Ry[r, np.minimum(iy0 + 1, nlat - 1)] += wy0
+    Cx = np.zeros((nlon, nxp), np.float32)
+    c = np.arange(nxp)
+    Cx[ix0, c] = 1.0 - wx0
+    Cx[(ix0 + 1) % nlon, c] += wx0
+    return Ry, Cx
+
+
 def synthetic_prescribed_atmosphere(grid, t_start=0.0, t_end=10 * 86400.0,
                                     cadence=3 * 3600.0, dtype=np.float32):
     """Build a `PrescribedAtmosphere` window from the analytic JRA55 proxy

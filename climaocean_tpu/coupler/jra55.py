@@ -83,12 +83,16 @@ def _file_time_axis(path, shortname):
         return t * scale + off
 
 
+class _NativeFallback(Exception):
+    """Raised mid-window-build when native mode hits a grid mismatch."""
+
+
 class JRA55FileAtmosphere:
     """Index + window server over per-year JRA55-do NetCDF files."""
 
     def __init__(self, grid, dir, time_indices_in_memory=240,
                  repeat_year=False, dtype=np.float32, smooth_passes=2,
-                 year_span=None):
+                 year_span=None, native_interpolation=True):
         self.grid = grid
         self.dir = dir
         self.n_window = int(time_indices_in_memory)
@@ -97,6 +101,14 @@ class JRA55FileAtmosphere:
         self.smooth_passes = smooth_passes
         self._year_span = year_span
         self._plans = {}
+        # native mode: windows stay at FILE resolution and the model-grid
+        # interpolation happens ON DEVICE (`InterpolatedAtmosphere`) —
+        # ~200× less host work + transfer per slab than regridding each
+        # slab to the model grid here. Requires every variable on one
+        # shared source grid (true for JRA55-do); verified lazily at the
+        # first window build, with automatic fallback to the regrid path.
+        self.native = bool(native_interpolation)
+        self._native_plan = None        # (iy, ix, wy, wx, lat_c, lon_c)
 
         # per-shortname file index: [(path, abs_times), ...] sorted by time
         self.index = {}
@@ -203,21 +215,90 @@ class JRA55FileAtmosphere:
             gi -= len(t)
         raise IndexError(f"{shortname}: index {global_index} out of range")
 
+    def _read_slab_native(self, shortname, global_index):
+        """One NATIVE-resolution slab (missing values filled) + its
+        (lat_faces, lon_faces) — for the on-device interpolation path."""
+        from ..data.netcdf import load_field
+        from ..data.regrid import fill_ocean_missing
+        entries = self.index[shortname]
+        gi = int(global_index)
+        for path, t in entries:
+            if gi < len(t):
+                data, _, lat_f, lon_f = load_field(path, shortname,
+                                                   time_index=gi)
+                a = fill_ocean_missing(data[-1], None,
+                                       passes=self.smooth_passes)
+                return np.asarray(a), lat_f, lon_f
+            gi -= len(t)
+        raise IndexError(f"{shortname}: index {global_index} out of range")
+
+    def _resolve_native_plan(self, lat_f, lon_f, shape):
+        """Bilinear device-sampling plan for the shared source grid; None
+        (and permanent fallback) when a variable's grid disagrees."""
+        from .atmosphere import bilinear_sample_plan, separable_sample_matrices
+        lat_c = 0.5 * (np.asarray(lat_f)[:-1] + np.asarray(lat_f)[1:])
+        lon_c = 0.5 * (np.asarray(lon_f)[:-1] + np.asarray(lon_f)[1:])
+        if self._native_plan is None:
+            iy, ix, wy, wx = bilinear_sample_plan(self.grid, lat_c, lon_c)
+            sep = separable_sample_matrices(iy, ix, wy, wx,
+                                            len(lat_c), len(lon_c))
+            self._native_plan = {"iy": iy, "ix": ix, "wy": wy, "wx": wx,
+                                 "lat_c": lat_c, "lon_c": lon_c,
+                                 "shape": shape, "sep": sep}
+            return self._native_plan
+        p = self._native_plan
+        if (p["shape"] != shape or len(p["lat_c"]) != len(lat_c)
+                or len(p["lon_c"]) != len(lon_c)
+                or not np.allclose(p["lat_c"], lat_c)
+                or not np.allclose(p["lon_c"], lon_c)):
+            import warnings
+            warnings.warn("JRA55 variables live on different source grids "
+                          "— falling back to host-side regridding")
+            self.native = False
+            return None
+        return self._native_plan
+
     def _var_times(self, shortname):
         return np.concatenate(
             [t for _, t in self.index[shortname]]) - self.epoch
 
-    def _read_var_window(self, shortname, t_lo, t_hi):
+    def _read_var_window(self, shortname, t_lo, t_hi, reader=None):
         """(times, slabs) of ``shortname`` covering [t_lo, t_hi] with one
         bracketing index on each side (its OWN cadence)."""
+        reader = reader or self._read_slab
         vt = self._var_times(shortname)
         i0 = int(np.searchsorted(vt, t_lo, side="right")) - 1
         i1 = int(np.searchsorted(vt, t_hi, side="left")) + 1
         i0 = max(0, i0)
         i1 = min(len(vt) - 1, i1)
         idx = range(i0, i1 + 1)
-        slabs = np.stack([self._read_slab(shortname, i) for i in idx])
+        slabs = np.stack([reader(shortname, i) for i in idx])
         return vt[i0:i1 + 1], slabs
+
+    def _var_series(self, sn, t_abs, t_lo, t_hi, native):
+        """Window slabs of ``sn`` on the common time axis ``t_abs`` —
+        native-resolution (plan-checked; None on grid-mismatch fallback)
+        or regridded+padded."""
+        if native:
+            def reader(s, i):
+                a, lat_f, lon_f = self._read_slab_native(s, i)
+                if self._resolve_native_plan(lat_f, lon_f, a.shape) is None:
+                    raise _NativeFallback()
+                return a
+        else:
+            reader = self._read_slab
+        try:
+            if self.repeat_year:
+                vt = self._var_times(sn)
+                return np.stack([
+                    reader(sn, int(np.clip(
+                        np.searchsorted(vt, ta % self.year_span,
+                                        side="right") - 1, 0, len(vt) - 1)))
+                    for ta in t_abs])
+            vt, slabs = self._read_var_window(sn, t_lo, t_hi, reader=reader)
+            return self._interp_onto(vt, slabs, t_abs)
+        except _NativeFallback:
+            return None
 
     @staticmethod
     def _interp_onto(t_src, series, t_dst):
@@ -258,39 +339,43 @@ class JRA55FileAtmosphere:
             # caller asked past the dataset end: clamp (constant-extrapolate)
             pass
 
-        fields = {}
-        for sn, key in JRA55_FIELD_MAP.items():
-            if self.repeat_year:
-                vt = self._var_times(sn)
-                # map each window index to this variable's own axis by phase
-                slabs = np.stack([
-                    self._read_slab(sn, int(np.clip(
-                        np.searchsorted(vt, ta % self.year_span,
-                                        side="right") - 1, 0, len(vt) - 1)))
-                    for ta in t_abs])
-                fields[key] = slabs
-            else:
-                vt, slabs = self._read_var_window(sn, t_lo, t_hi)
-                fields[key] = self._interp_onto(vt, slabs, t_abs)
-        for sn in JRA55_LAND_VARS:
-            if sn not in self.index:
-                continue
-            if self.repeat_year:
-                vt = self._var_times(sn)
-                slabs = np.stack([
-                    self._read_slab(sn, int(np.clip(
-                        np.searchsorted(vt, ta % self.year_span,
-                                        side="right") - 1, 0, len(vt) - 1)))
-                    for ta in t_abs])
-            else:
-                vt, raw = self._read_var_window(sn, t_lo, t_hi)
-                slabs = self._interp_onto(vt, raw, t_abs)
-            fields["rain"] = fields["rain"] + slabs
+        for _attempt in (0, 1):           # native mode may fall back once
+            native = self.native
+            fields = {}
+            ok = True
+            for sn, key in JRA55_FIELD_MAP.items():
+                s = self._var_series(sn, t_abs, t_lo, t_hi, native)
+                if s is None:
+                    ok = False
+                    break
+                fields[key] = s
+            if ok:
+                for sn in JRA55_LAND_VARS:
+                    if sn not in self.index:
+                        continue
+                    s = self._var_series(sn, t_abs, t_lo, t_hi, native)
+                    if s is None:
+                        ok = False
+                        break
+                    fields["rain"] = fields["rain"] + s
+            if ok:
+                break
 
-        win = PrescribedAtmosphere(
-            times=jnp.asarray((t_abs - t_ref).astype(self.dtype)),
-            fields={k: jnp.asarray(v.astype(self.dtype))
-                    for k, v in fields.items()})
+        times_rel = jnp.asarray((t_abs - t_ref).astype(self.dtype))
+        dev_fields = {k: jnp.asarray(v.astype(self.dtype))
+                      for k, v in fields.items()}
+        if native:
+            from .atmosphere import InterpolatedAtmosphere
+            p = self._native_plan
+            sep = p["sep"]
+            win = InterpolatedAtmosphere(
+                times=times_rel, fields=dev_fields,
+                iy=jnp.asarray(p["iy"]), ix=jnp.asarray(p["ix"]),
+                wy=jnp.asarray(p["wy"]), wx=jnp.asarray(p["wx"]),
+                Ry=None if sep is None else jnp.asarray(sep[0]),
+                Cx=None if sep is None else jnp.asarray(sep[1]))
+        else:
+            win = PrescribedAtmosphere(times=times_rel, fields=dev_fields)
         return win, t_ref
 
     @property

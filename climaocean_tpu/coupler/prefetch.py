@@ -93,15 +93,19 @@ class PrefetchingAtmosphere:
 
     @classmethod
     def from_files(cls, grid, dir, time_indices_in_memory=240,
-                   repeat_year=False, t_start=0.0, **kw):
+                   repeat_year=False, t_start=0.0, refill_fraction=0.5,
+                   **kw):
         """File-backed multi-year windows (`JRA55FileAtmosphere`) — the
         reference's `MultiYearJRA55`/`RepeatYearJRA55` prefetching backend
-        (`atmosphere.jl:22-27`)."""
+        (`atmosphere.jl:22-27`). ``refill_fraction``: in-window position
+        where the background build of the next window starts (lower =
+        more overlap headroom for short windows)."""
         from .jra55 import JRA55FileAtmosphere
         backend = JRA55FileAtmosphere(
             grid, dir, time_indices_in_memory=time_indices_in_memory,
             repeat_year=repeat_year, **kw)
-        pf = cls(backend.window_for_time, backend.window_span, t_start)
+        pf = cls(backend.window_for_time, backend.window_span, t_start,
+                 refill_fraction=refill_fraction)
         pf.backend = backend
         return pf
 

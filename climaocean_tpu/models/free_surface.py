@@ -279,6 +279,20 @@ def _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
             R2 = dtau * wet2_c / grid.az_cc
             blk_coeffs = (AU2, BU2, AV2, BV2, grid.dy_fc, grid.dx_cf, R2)
 
+    # on non-folded grids the fill is location/sign-independent, so the
+    # three per-block fills collapse into ONE over a stacked (3, ...) array
+    # (a third of the halo-strip slice ops — the block path's dominant
+    # XLA cost between kernels)
+    stack_fill = not grid.kind.startswith("tripolar")
+    wet3 = jnp.stack([wet2_c, wet2_u, wet2_v]) if stack_fill else None
+
+    def fill_state(eta, U, V):
+        if stack_fill:
+            s3 = fill_halos_2d(jnp.stack([eta, U, V])) * wet3
+            return s3[0], s3[1], s3[2]
+        return (fill_halos_2d(eta) * wet2_c, fill_U(U) * wet2_u,
+                fill_V(V) * wet2_v)
+
     def body(carry, we_block):
         eta, U, V, eta_a, U_a, V_a, U_e, V_e = carry
         if use_block:
@@ -303,25 +317,27 @@ def _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
         # (dry in bounded-direction halos), so masking last keeps wall
         # transports exactly zero — replicated halo values must never
         # survive on dry faces or they inject spurious divergence.
-        eta = fill_halos_2d(eta) * wet2_c
-        U = fill_U(U) * wet2_u
-        V = fill_V(V) * wet2_v
+        eta, U, V = fill_state(eta, U, V)
         return (eta, U, V, eta_a, U_a, V_a, U_e, V_e), None
 
     z = jnp.zeros_like(bt.eta)
     zU, zV = jnp.zeros_like(bt.U), jnp.zeros_like(bt.V)
-    init = (fill_halos_2d(bt.eta) * wet2_c, fill_U(bt.U) * wet2_u,
-            fill_V(bt.V) * wet2_v, z, zU, zV, zU, zV)
+    init = fill_state(bt.eta, bt.U, bt.V) + (z, zU, zV, zU, zV)
     (eta, U, V, eta_a, U_a, V_a, U_e, V_e), _ = jax.lax.scan(
         body, init, w_eff, length=n_blocks)
 
     # the accumulators sampled unfilled halo values between fills — refill
     # once so downstream consumers see consistent halos
-    averaged = AveragedBarotropic(fill_halos_2d(eta_a) * wet2_c,
-                                  fill_U(U_a) * wet2_u,
-                                  fill_V(V_a) * wet2_v,
-                                  fill_U(U_e) * wet2_u,
-                                  fill_V(V_e) * wet2_v)
+    if stack_fill:
+        s5 = fill_halos_2d(jnp.stack([eta_a, U_a, V_a, U_e, V_e])) \
+            * jnp.stack([wet2_c, wet2_u, wet2_v, wet2_u, wet2_v])
+        averaged = AveragedBarotropic(s5[0], s5[1], s5[2], s5[3], s5[4])
+    else:
+        averaged = AveragedBarotropic(fill_halos_2d(eta_a) * wet2_c,
+                                      fill_U(U_a) * wet2_u,
+                                      fill_V(V_a) * wet2_v,
+                                      fill_U(U_e) * wet2_u,
+                                      fill_V(V_e) * wet2_v)
     final = BarotropicState(eta, U, V)
     return averaged, final
 

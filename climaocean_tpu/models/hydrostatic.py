@@ -208,9 +208,18 @@ def closure_aux(model, state, fluxes, t=0.0):
     grid = model.grid
     dz_f = grid.dz_f[:, None, None]
 
+    import os
     zf3 = grid.z_f[:-1, None, None]                 # face k below cell k
-    if model.eos is None or isinstance(model.eos,
-                                       eos_mod.TEOS10EquationOfState):
+    # z-coefficient split: trades one 55-term eval per cell for 4 extra
+    # coefficient arrays of traffic. Measured: wins in the compute-heavy
+    # shallow-column regime (1/4° Nz=10: 48.7 → 48.1 ms/step), loses when
+    # memory-bound (1° Nz=60: +0.7 ms) — default on for Nz ≤ 24;
+    # CLIMAOCEAN_EOS_SPLIT=0/1 forces.
+    env_split = os.environ.get("CLIMAOCEAN_EOS_SPLIT")
+    use_split = (grid.Nz <= 24) if env_split is None \
+        else env_split not in ("", "0")
+    if use_split and (model.eos is None or
+                      isinstance(model.eos, eos_mod.TEOS10EquationOfState)):
         # every cell is evaluated at BOTH of its faces — split the 55-term
         # polynomial into per-cell z-coefficients (one expensive (s,t)
         # evaluation per cell) + two 3-FMA depth cubics. Bitwise-identical
@@ -226,7 +235,7 @@ def closure_aux(model, state, fluxes, t=0.0):
         # clamped shift produced before)
         b_dn = jnp.concatenate([b_up[:1], b_own_upper[:-1]], axis=0)
     else:
-        bfun = model.eos.buoyancy
+        bfun = eos_mod.buoyancy if model.eos is None else model.eos.buoyancy
         b_up = bfun(state["S"], state["T"], zf3)    # cell k at face k
         b_dn = bfun(shift_clamp(state["S"], Z, -1),  # cell k-1 at face k
                     shift_clamp(state["T"], Z, -1), zf3)
@@ -510,6 +519,49 @@ def _fused_implicit_solve(model, state, nu_w, kap_w, sig, dt, w_impl):
         grid, dt, inv_sig2=inv_sig2, by=by)
 
 
+def _fused_catke_implicit(model, state, aux, dt, sig, w_impl):
+    """Route the WHOLE implicit vertical step — CATKE diffusivities, TKE
+    production/dissipation, and all five solves (u, v, T, S, e) — through
+    `core.pallas_tridiagonal.implicit_vertical_catke_pallas` when the
+    closure stack is CATKE + diagnostic-only companions (background /
+    Henyey / GM / biharmonic / restoring: anything without
+    `step_prognostics`). The non-CATKE face diffusivities are summed in
+    XLA and enter the kernel as background fields. None -> XLA path.
+    CLIMAOCEAN_PALLAS_CATKE=1/0 forces."""
+    import os
+
+    env = os.environ.get("CLIMAOCEAN_PALLAS_CATKE")
+    if env is not None:
+        on = env not in ("", "0")
+    else:
+        from ..advection.tracer import _use_pallas
+        on = _use_pallas()
+    if not on or w_impl is not None or "e" not in state:
+        return None
+    from ..closures.catke import CATKEVerticalDiffusivity
+
+    cats = [c for c in model.closures
+            if isinstance(c, CATKEVerticalDiffusivity)]
+    others = [c for c in model.closures
+              if not isinstance(c, CATKEVerticalDiffusivity)]
+    if len(cats) != 1 or any(getattr(c, "step_prognostics", None)
+                             for c in others):
+        return None
+    from ..core.pallas_tridiagonal import (catke_choose_block,
+                                           implicit_vertical_catke_pallas)
+    grid = model.grid
+    nz, _, nxp = state["u"].shape
+    by = catke_choose_block(nz, nxp)
+    if by is None:
+        return None
+    nu_bg, kap_bg = sum_diffusivities(others, grid, state, aux)
+    inv_sig2 = None if sig is None else 1.0 / (sig * sig)
+    u, v, T, S, e = implicit_vertical_catke_pallas(
+        cats[0], nu_bg, kap_bg, state, aux, grid, dt, inv_sig2=inv_sig2,
+        by=by)
+    return dict(state, u=u, v=v, T=T, S=S, e=e)
+
+
 def implicit_vertical_step(model, state, aux, dt, w_impl=None):
     """Implicit vertical mixing of u, v, T, S (+ closure prognostics).
 
@@ -518,12 +570,19 @@ def implicit_vertical_step(model, state, aux, dt, w_impl=None):
     as first-order upwind implicit advection (reference
     `AdaptiveVerticallyImplicitDiscretization`, `orca.jl:11-12`)."""
     grid = model.grid
+
+    sig0 = None
+    if model.zstar:
+        sig0 = column_sigma(model, state["eta"])
+    fused_all = _fused_catke_implicit(model, state, aux, dt, sig0, w_impl)
+    if fused_all is not None:
+        return fused_all
+
     nu_w, kap_w = sum_diffusivities(model.closures, grid, state, aux)
 
     dz_c, dz_f = grid.dz_c, grid.dz_f
-    sig = None
-    if model.zstar:
-        sig = column_sigma(model, state["eta"])
+    sig = sig0
+    if sig is not None:
         dz_c = sig[None] * dz_c[:, None, None]
         dz_f = sig[None] * dz_f[:, None, None]
 

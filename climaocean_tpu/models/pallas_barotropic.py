@@ -12,8 +12,10 @@ Semantics = `free_surface._substep_barotropic_unpadded` exactly (the
 interior-only formulation): `jnp.roll` IS the periodic-x exchange, and
 bounded-direction wrap-around reads land on zero-masked wall faces, so no
 halo fills are needed at all — per-substep masking keeps wall transports
-exactly zero. Folded (tripolar) grids and shard_map runs keep the XLA
-path (the fold / ppermute exchange can't live inside one kernel).
+exactly zero. Where this whole-window kernel can't run — shard_map tiles
+(the ppermute exchange can't live inside one kernel) and VMEM-oversize
+grids — the BLOCK kernel at the bottom of this module fuses
+k = (H−1)//2 substeps per kernel between halo fills instead.
 
 Coefficients are folded outside the kernel into five constant fields so
 the substep body is 4 shifts + ~10 fused multiply-adds:
@@ -363,7 +365,6 @@ def barotropic_block_pallas(state, coeffs, we_block, k, M, with_eff=True,
         return _block_call(state, coeffs, we_block, k, nyp, nxp, M, with_eff)
     G = 2 * k
     hs = -(-nyp // n_slabs)
-    rows = jnp.arange(nyp)
     out_parts = [[] for _ in state]
     for s in range(n_slabs):
         y0, y1 = s * hs, min((s + 1) * hs, nyp)
@@ -374,5 +375,4 @@ def barotropic_block_pallas(state, coeffs, we_block, k, M, with_eff=True,
                           (y1 - y0) + 2 * G, nxp, M, with_eff)
         for lst, r in zip(out_parts, res):
             lst.append(r[G:G + (y1 - y0)])
-    del rows
     return tuple(jnp.concatenate(p, axis=0) for p in out_parts)

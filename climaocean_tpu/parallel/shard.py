@@ -70,7 +70,28 @@ def unpartition_array(stack, grid, py, px):
     return jnp.pad(interior, pad)
 
 
+def _strip_separable_interp(tree):
+    """Remove `InterpolatedAtmosphere.Ry`/`Cx` before partitioning: the
+    separable matmul matrices ((Nyp, nlat) / (nlon, Nxp)) cannot be tiled
+    by the last-two-axes rule — per-tile `at_time` falls back to the
+    gather form, whose (Nyp, Nxp) index/weight arrays partition cleanly."""
+    import dataclasses
+
+    from ..coupler.atmosphere import InterpolatedAtmosphere
+
+    def fix(obj):
+        if isinstance(obj, InterpolatedAtmosphere) and obj.Ry is not None:
+            return dataclasses.replace(obj, Ry=None, Cx=None)
+        return obj
+
+    return jax.tree_util.tree_map(fix, tree,
+                                  is_leaf=lambda o: isinstance(
+                                      o, InterpolatedAtmosphere))
+
+
 def partition_tree(tree, grid, py, px):
+    tree = _strip_separable_interp(tree)
+
     def f(a):
         if hasattr(a, "ndim") and a.ndim >= 2 and a.shape[-1] == grid.Nxp:
             return partition_array(a, grid, py, px)

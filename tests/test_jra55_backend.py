@@ -175,3 +175,88 @@ def test_prefetched_run_matches_whole_file_run(multiyear_dir):
         a, b = np.asarray(sA["ocean"][k]), np.asarray(sB["ocean"][k])
         assert np.allclose(a, b, atol=5e-5), \
             f"{k} diverged across window swaps: {np.abs(a - b).max()}"
+
+
+def test_native_interpolation_matches_regrid_path(multiyear_dir):
+    """The on-device bilinear window (`InterpolatedAtmosphere`) agrees
+    with the host-regrid window (`PrescribedAtmosphere`) at the sampled
+    model points — same data, two interpolation routes. Tolerance covers
+    conservative-ladder vs bilinear differences on a smooth field."""
+    from climaocean_tpu.coupler.atmosphere import InterpolatedAtmosphere
+    from climaocean_tpu.coupler.jra55 import JRA55FileAtmosphere
+
+    grid = _grid()
+    nat = JRA55FileAtmosphere(grid, multiyear_dir, time_indices_in_memory=8,
+                              native_interpolation=True)
+    reg = JRA55FileAtmosphere(grid, multiyear_dir, time_indices_in_memory=8,
+                              native_interpolation=False)
+    wn, tn = nat.window_for_time(6 * HOUR)
+    wr, tr = reg.window_for_time(6 * HOUR)
+    assert isinstance(wn, InterpolatedAtmosphere)
+    assert tn == tr
+    H = grid.H
+    for t in (0.0, 4.5 * HOUR, 20.0 * HOUR):
+        a = wn.at_time(t)
+        b = wr.at_time(t)
+        for name in ("T", "u", "p", "q"):
+            x = np.asarray(getattr(a, name))[H:H + grid.Ny, H:H + grid.Nx]
+            y = np.asarray(getattr(b, name))[H:H + grid.Ny, H:H + grid.Nx]
+            scale = max(np.abs(y).max(), 1e-12)
+            assert np.abs(x - y).max() / scale < 0.05, \
+                f"{name} at t={t}: {np.abs(x - y).max() / scale:.3e}"
+        # the test dataset's tas drifts linearly in time — exact check
+        hours = (tn + t) / HOUR
+        expect = 280.0 * (1.0 + 1e-3 * hours)
+        Tn = np.asarray(a.T)[H:H + grid.Ny, H:H + grid.Nx]
+        np.testing.assert_allclose(Tn.mean(), expect, rtol=2e-5)
+
+
+def test_interpolated_atmosphere_under_shard_map(multiyear_dir):
+    """The native-resolution window distributes: per-tile sampling plans
+    partition, native fields replicate, and the shard_map `at_time`
+    reproduces the single-device result tile by tile."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs the faked 8-device mesh")
+    from climaocean_tpu.coupler.jra55 import JRA55FileAtmosphere
+    from climaocean_tpu.parallel.mesh import make_mesh
+    from climaocean_tpu.parallel.shard import partition_tree, _is_stacked
+    from climaocean_tpu.utils.compat import shard_map
+
+    grid = _grid()
+    backend = JRA55FileAtmosphere(grid, multiyear_dir,
+                                  time_indices_in_memory=8)
+    win, _ = backend.window_for_time(0.0)
+    ref = np.asarray(win.at_time(5 * HOUR).T)
+
+    py, px = 2, 4
+    mesh = make_mesh((py, px))
+    win_s = partition_tree(win, grid, py, px)
+    nxp_loc = grid.Nx // px + 2 * grid.H
+
+    def spec_for(a):
+        return P(("y", "x")) if _is_stacked(a, nxp_loc) else P()
+
+    def body(w):
+        import jax.tree_util as jtu
+        local = jtu.tree_map(
+            lambda a: a[0] if _is_stacked(a, nxp_loc) else a, w)
+        return jtu.tree_map(lambda a: a[None], local.at_time(5 * HOUR).T)
+
+    out = shard_map(body, mesh=mesh,
+                    in_specs=(jax.tree_util.tree_map(spec_for, win_s),),
+                    out_specs=P(("y", "x")))(win_s)
+    H = grid.H
+    ny_loc = grid.Ny // py
+    nx_loc = grid.Nx // px
+    idx = 0
+    for j in range(py):
+        for i in range(px):
+            tile = np.asarray(out[idx])[H:H + ny_loc, H:H + nx_loc]
+            y0, x0 = H + j * ny_loc, H + i * nx_loc
+            np.testing.assert_allclose(
+                tile, ref[y0:y0 + ny_loc, x0:x0 + nx_loc], atol=1e-5)
+            idx += 1

@@ -115,3 +115,58 @@ def test_implicit_step_wiring_toggles():
         bb = np.asarray(grid.interior(b))
         scale = max(np.abs(aa).max(), 1e-12)
         assert np.abs(aa - bb).max() / scale < 5e-6
+
+
+@pytest.mark.parametrize("zstar", [False, True])
+def test_fused_catke_implicit_matches_xla(zstar, monkeypatch):
+    """The whole-implicit-step CATKE kernel (lengths incl. the round-4
+    convective/entrainment branches, TKE production/dissipation, 5 solves)
+    vs the XLA `implicit_vertical_step` with the same closure stack
+    (CATKE + function-κ background)."""
+    from climaocean_tpu.closures.catke import CATKEVerticalDiffusivity
+    from climaocean_tpu.closures.scalar_diffusivity import (
+        VerticalScalarDiffusivity, henyey_diffusivity)
+    from climaocean_tpu.models import hydrostatic as hm
+    from climaocean_tpu.models.hydrostatic import (HydrostaticModel,
+                                                   SurfaceFluxes)
+
+    grid, f, _, _ = make_case(nz=8, seed=3)
+    rng = np.random.default_rng(4)
+    model = HydrostaticModel(
+        grid=grid, substeps=4, zstar=zstar,
+        closures=(CATKEVerticalDiffusivity(),
+                  VerticalScalarDiffusivity(
+                      nu=3e-5, kappa=lambda lat, z: henyey_diffusivity(lat))))
+    state = model.initial_state()
+    for k in ("u", "v"):
+        state[k] = f[k] * 0.1 * getattr(grid, f"wet_{k}")
+    state["T"] = (10.0 + f["T"]) * grid.wet_c
+    state["S"] = (35.0 + 0.1 * f["S"]) * grid.wet_c
+    state["e"] = jnp.abs(f["T"]) * 1e-4 * grid.wet_c
+    state["eta"] = jnp.asarray(
+        rng.normal(0, 0.1, grid.padded_shape[1:]).astype(np.float32)) \
+        * grid.wet_c[-1]
+    fl = SurfaceFluxes.zeros(grid)
+    # destabilizing surface cooling in a band -> convective/entrainment
+    # branches active
+    QT = np.zeros(grid.padded_shape[1:], np.float32)
+    QT[:, : grid.Nxp // 2] = -2e-4
+    fl = fl._replace(Q_T=jnp.asarray(QT) * grid.wet_c[-1],
+                     tau_x=jnp.full(grid.padded_shape[1:], 1e-4,
+                                    jnp.float32) * grid.wet_u[-1])
+    aux, _ = hm.closure_aux(model, state, fl)
+
+    monkeypatch.setenv("CLIMAOCEAN_PALLAS_CATKE", "0")
+    monkeypatch.setenv("CLIMAOCEAN_PALLAS_IMPLICIT", "0")
+    ref = jax.jit(lambda s: hm.implicit_vertical_step(model, s, aux,
+                                                      1200.0))(state)
+    monkeypatch.setenv("CLIMAOCEAN_PALLAS_CATKE", "1")
+    fused = jax.jit(lambda s: hm.implicit_vertical_step(model, s, aux,
+                                                        1200.0))(state)
+    H = grid.H
+    for k in ("u", "v", "T", "S", "e"):
+        a = np.asarray(ref[k])[..., H:H + grid.Ny, H:H + grid.Nx]
+        b = np.asarray(fused[k])[..., H:H + grid.Ny, H:H + grid.Nx]
+        scale = max(np.abs(a).max(), 1e-10)
+        assert np.abs(a - b).max() / scale < 5e-5, \
+            f"{k}: {np.abs(a - b).max() / scale:.3e} (zstar={zstar})"
