@@ -4,15 +4,29 @@ TPU-native rebuild of Oceananigans' `IsopycnalSkewSymmetricDiffusivity`
 (reference call site: `one_degree_tripolar.jl` closure with κ_skew = 500,
 κ_symmetric = 200 m²/s; selector `omip_simulation.jl:481-485`).
 
-Small-slope Griffies (1998) combined tensor: with isoneutral slope
-S = −∇_h b / ∂_z b (flux-tapered at |S| > S_max),
+Redi (symmetric) part — small-slope Griffies (1998) tensor with isoneutral
+slope S = −∇_h b / ∂_z b (flux-tapered at |S| > S_max):
 
-    Fx = −κ_R ∂x c − (κ_R − κ_GM) Sx ∂z c
-    Fz = −(κ_R + κ_GM)(Sx ∂x c + Sy ∂y c) − κ_R |S|² ∂z c
+    Fx = −κ_R (∂x c + Sx ∂z c)
+    Fz = −κ_R (Sx ∂x c + Sy ∂y c) − κ_R |S|² ∂z c
 
-The diagonal vertical piece κ_R |S|² rides the shared implicit tridiagonal
-solve (via `diffusivities`); horizontal and cross terms are explicit.
-Applied to T and S (the buoyancy-active tracers), not momentum.
+with the diagonal vertical piece κ_R |S|² riding the shared implicit
+tridiagonal solve (`diffusivities`); the rest explicit.
+
+GM (skew) part — ADVECTIVE (bolus-velocity) form: the eddy-induced
+streamfunction ψ = κ_GM S gives
+
+    u★ = −∂z ψx,  v★ = −∂z ψy,  w★ = ∂x ψx + ∂y ψy
+
+discretely DIVERGENCE-FREE by construction (the δx/δz operators commute),
+and tracers are advected with (u★, v★, w★) by donor-cell upwind fluxes —
+unconditionally variance-non-increasing. The equivalent skew-FLUX
+discretization (±κ_GM S cross terms with independently interpolated
+gradients) is not discretely antisymmetric and pumps tracer variance where
+the taper pins |S| at S_max: measured at 1° tripolar as exponential
+salinity growth (~/2 days) in weakly-stratified high latitudes — the
+round-4 year-long validation caught it; the advective form is neutral
+there by construction. Applied to T and S, not momentum.
 """
 
 from __future__ import annotations
@@ -79,10 +93,38 @@ class IsopycnalSkewSymmetricDiffusivity:
         return zeros, kap_w * grid.wet_w
 
     def horizontal_tendencies(self, grid, fields, aux):
+        from ..core.stencil import xm1, ym1
+
         Sx, Sy, tx, ty = self._slopes(grid, aux)
         kR = self.kappa_symmetric
         kGM = self.kappa_skew
         dz = grid.dz_c[:, None, None]
+
+        # --- eddy-induced (bolus) velocities from ψ = κ_GM S -------------
+        # ψ lives at u/v-face W-LEVELS and VANISHES at the surface, the
+        # column bottom, and every level where either adjacent face level
+        # is dry — the streamfunction boundary condition. u★ = −δz ψ and
+        # w★ = ∇·ψ then carry NO transport through bathymetry and are
+        # discretely divergence-free INCLUDING at staircases (the δx/δz
+        # operators commute on the same masked ψ). Masking the fluxes
+        # instead (round-4 first attempt) breaks the cancellation exactly
+        # at coastal steps and pumps tracer there — the year-validation
+        # blowup's second act.
+        psi_x = kGM * tx * Sx * grid.wet_u
+        psi_y = kGM * ty * Sy * grid.wet_v
+
+        def to_w(p, wet):
+            inner = 0.5 * (p[:-1] + p[1:]) * (wet[:-1] * wet[1:])
+            return jnp.concatenate([jnp.zeros_like(p[:1]), inner,
+                                    jnp.zeros_like(p[:1])], axis=0)
+
+        psi_xw = to_w(psi_x, grid.wet_u)              # (Nz+1, f,c)
+        psi_yw = to_w(psi_y, grid.wet_v)
+        u_star = -(psi_xw[1:] - psi_xw[:-1]) / dz     # (f,c,c), self-masked
+        v_star = -(psi_yw[1:] - psi_yw[:-1]) / dz
+        w_star = (dxc(grid.dy_fc * psi_xw) + dyc(grid.dx_cf * psi_yw)) \
+            / grid.az_cc                              # (c,c,f), 0 at ends
+
         out = {}
         for name in ("T", "S"):
             if name not in fields:
@@ -90,36 +132,52 @@ class IsopycnalSkewSymmetricDiffusivity:
             c = fields[name]
             dcdz_c = _dz_centered(c, grid)            # ∂z c at centers
 
-            # x-flux at (f,c,c): −κ_R ∂x c − (κ_R−κ_GM) Sx ∂z c  (tapered)
+            # --- Redi symmetric part (κ_R) -------------------------------
             Fx = (-kR * tx * dxf(c) / grid.dx_fc
-                  - (kR - kGM) * tx * Sx * mxf(dcdz_c)) * grid.wet_u
+                  - kR * tx * Sx * mxf(dcdz_c)) * grid.wet_u
             Fy = (-kR * ty * dyf(c) / grid.dy_cf
-                  - (kR - kGM) * ty * Sy * myf(dcdz_c)) * grid.wet_v
-
-            # explicit vertical cross-flux at w-faces:
-            # −(κ_R+κ_GM)(Sx ∂x c + Sy ∂y c), interpolated to (c,c,f).
-            # The face gradients MUST be wet-masked like Fx/Fy: at an
-            # immersed wall dxf(c) differences a land cell's masked value
-            # (≈0) against the ocean, a huge spurious gradient that drives
-            # an anti-diffusive vertical flux — measured at 1° as runaway
-            # subsurface cooling (T→−16 °C) along freshly-dried coastlines.
+                  - kR * ty * Sy * myf(dcdz_c)) * grid.wet_v
+            # explicit vertical cross-flux at w-faces. The face gradients
+            # MUST be wet-masked like Fx/Fy: at an immersed wall dxf(c)
+            # differences a land cell's masked value (≈0) against the
+            # ocean — a huge spurious gradient driving an anti-diffusive
+            # vertical flux (measured at 1° as runaway subsurface cooling
+            # along freshly-dried coastlines).
             cross_c = (mxc(tx * Sx * dxf(c) / grid.dx_fc * grid.wet_u)
                        + myc(ty * Sy * dyf(c) / grid.dy_cf * grid.wet_v))
             cross_w = jnp.concatenate(
                 [jnp.zeros_like(cross_c[:1]),
                  0.5 * (cross_c[:-1] + cross_c[1:]),
                  jnp.zeros_like(cross_c[:1])], axis=0)
-            Fz = -(kR + kGM) * cross_w * grid.wet_w
+            Fz = -kR * cross_w * grid.wet_w
 
-            div = (dxc(grid.dy_fc * dz * Fx) + dyc(grid.dx_cf * dz * Fy)) \
-                / (grid.az_cc * dz) + (Fz[1:] - Fz[:-1]) / dz
+            # --- GM bolus advection (donor-cell upwind) ------------------
+            # no extra wet mask on the advective part: u★/v★ are already
+            # zero at dry faces BY CONSTRUCTION of ψ, and re-masking would
+            # break the divergence-free cancellation at staircases
+            c_up_x = jnp.where(u_star >= 0, xm1(c), c)
+            c_up_y = jnp.where(v_star >= 0, ym1(c), c)
+            Ax = grid.dy_fc * dz * (u_star * c_up_x + Fx)
+            Ay = grid.dx_cf * dz * (v_star * c_up_y + Fy)
+            c_up_z = jnp.where(w_star[1:-1] >= 0, c[:-1], c[1:])
+            wc = jnp.concatenate([jnp.zeros_like(c[:1]),
+                                  w_star[1:-1] * c_up_z,
+                                  jnp.zeros_like(c[:1])], axis=0)
+
+            div = (dxc(Ax) + dyc(Ay)) / (grid.az_cc * dz) \
+                + ((wc[1:] - wc[:-1]) + (Fz[1:] - Fz[:-1])) / dz
             out[name] = -div * grid.wet_c
         return out
 
 
 def _dz_centered(c, grid):
-    """∂z c at centers via clamped differences."""
+    """∂z c at centers via clamped differences, WET-FACE masked: the
+    bottom wet cell of a column must not difference against the dry cell
+    below (masked value ≈ 0 → a huge spurious gradient ~c/Δz that drives
+    runaway Redi cross fluxes along bathymetry — a round-4 year-validation
+    find, T swinging to −125 °C at mid-depth coastal cells)."""
     dz_f = grid.dz_f[:, None, None]
-    d_lo = (c - shift_clamp(c, Z, -1)) / dz_f[:-1]     # at faces 0..Nz-1
+    d_lo = (c - shift_clamp(c, Z, -1)) / dz_f[:-1] \
+        * grid.wet_w[:-1]                              # at faces 0..Nz-1
     d_hi = jnp.concatenate([d_lo[1:], jnp.zeros_like(d_lo[:1])], axis=0)
     return 0.5 * (d_lo + d_hi)
