@@ -350,18 +350,26 @@ def omip_progress_callback(grid, hash_iterations=(1, 5, 100, 1000)):
     def cb(sim):
         s = sim.state
         ocean = s["ocean"]
+        # INTERIOR extrema only: halo strips are scratch between deferred
+        # fills (stencil wrap residue, fold ghost dynamics) and routinely
+        # hold wild values that every consumer refills before reading —
+        # padded-array extrema once "diagnosed" a 104 °C blowup in a
+        # perfectly healthy run (round-4 year validation)
+        cut = grid.interior
         msgs = [f"time: {prettytime(sim.time)}", f"iteration: {sim.iteration}",
                 f"Δt: {prettytime(sim.dt)}"]
         if "sea_ice" in s and s["sea_ice"] is not None:
             ice = s["sea_ice"]
-            msgs.append(f"max(h): {float(jnp.max(ice['thickness'])):.2e} m")
-            msgs.append(f"max(ℵ): {float(jnp.max(ice['concentration'])):.2e}")
-        msgs.append(f"extrema(T): ({float(jnp.min(ocean['T'])):.2f}, "
-                    f"{float(jnp.max(ocean['T'])):.2f}) °C")
-        msgs.append(f"extrema(S): ({float(jnp.min(ocean['S'])):.2f}, "
-                    f"{float(jnp.max(ocean['S'])):.2f})")
-        msgs.append(f"max|u|: {float(jnp.max(jnp.abs(ocean['u']))):.2e}")
-        msgs.append(f"max|v|: {float(jnp.max(jnp.abs(ocean['v']))):.2e}")
+            msgs.append(f"max(h): {float(jnp.max(cut(ice['thickness']))):.2e} m")
+            msgs.append(
+                f"max(ℵ): {float(jnp.max(cut(ice['concentration']))):.2e}")
+        T_i, S_i = cut(ocean["T"]), cut(ocean["S"])
+        msgs.append(f"extrema(T): ({float(jnp.min(T_i)):.2f}, "
+                    f"{float(jnp.max(T_i)):.2f}) °C")
+        msgs.append(f"extrema(S): ({float(jnp.min(S_i)):.2f}, "
+                    f"{float(jnp.max(S_i)):.2f})")
+        msgs.append(f"max|u|: {float(jnp.max(jnp.abs(cut(ocean['u'])))):.2e}")
+        msgs.append(f"max|v|: {float(jnp.max(jnp.abs(cut(ocean['v'])))):.2e}")
         now = _time.time()
         msgs.append(f"wall time: {prettytime(now - wall['t'])}")
         wall["t"] = now
