@@ -57,8 +57,11 @@ class IsopycnalSkewSymmetricDiffusivity:
         """Isoneutral slopes at x-faces (f,c,c) and y-faces (c,f,c), plus
         the taper factor; all at cell-center vertical levels."""
         b = aux.b
-        # ∂z b at centers (mean of face N²), floored
-        N2_c = 0.5 * (aux.N2[:-1] + aux.N2[1:])
+        # ∂z b at centers (mean of WET face N² — a dry face below a bottom
+        # cell differences real buoyancy against the land cell's masked
+        # state, garbage that must not set the slope), floored
+        N2f = aux.N2 * grid.wet_w
+        N2_c = 0.5 * (N2f[:-1] + N2f[1:])
         bz = jnp.maximum(N2_c, self.N2_min)
 
         bx = dxf(b) / grid.dx_fc                     # at (f,c,c)
@@ -66,12 +69,21 @@ class IsopycnalSkewSymmetricDiffusivity:
         Sx = -bx / mxf(bz)
         Sy = -by / myf(bz)
 
-        # flux tapering: scale κ by (S_max/|S|)² where |S| > S_max
+        # tapering: the (S_max/|S|)² flux limit ALONE holds rotation at
+        # full strength exactly at the cap, and a capped-slope rotated
+        # flux at weakly-stratified bottom corners is antidiffusive —
+        # measured in the round-4 year run as a coastal bottom cell
+        # densifying without bound (S +0.2/day). The added
+        # Danabasoglu–McWilliams-style tanh factor switches rotation
+        # smoothly OFF above S_max instead (interior slopes ~1e-3 are
+        # untouched; fac ≈ 0.02 by 1.2·S_max).
         def taper(S):
             mag = jnp.abs(S)
             fac = jnp.where(mag > self.slope_max,
                             (self.slope_max / jnp.maximum(mag, 1e-30)) ** 2,
                             1.0)
+            fac = fac * 0.5 * (1.0 + jnp.tanh(
+                (self.slope_max - mag) / (0.1 * self.slope_max)))
             return jnp.clip(S, -10 * self.slope_max, 10 * self.slope_max), fac
 
         Sx, tx = taper(Sx)
