@@ -96,6 +96,29 @@ def _weno_core(get_val, get_wet, order, weights):
     """
     tbl = _LEFT[order]
     K = (order + 1) // 2
+    if get_wet is not None:
+        # DRY-VALUE SUBSTITUTION: a dry cell's masked value (≈0) must
+        # never enter a reconstruction. The β penalty alone deprioritizes
+        # contaminated substencils, but at faces where EVERY substencil
+        # touches dry cells (within (order−1)/2 of a boundary) the
+        # penalties cancel in the relative weights and the scheme blends
+        # zeros with ~ideal weights — phantom-0 water in the flux, which
+        # rectifies under oscillating velocity into a steady tracer pump
+        # at column bottoms/coasts (the round-4 year validation's slow
+        # leak, ~+0.2 PSU/day at 1° WENO(7) bottom cells). Substituting
+        # the upwind-adjacent value (offset −1, in every substencil)
+        # degrades those faces gracefully toward first-order upwind — the
+        # reference's minimum_buffer_upwind_order near-boundary behavior.
+        raw_val = get_val
+        v_adj = raw_val(-1)
+        _sub_cache = {}
+
+        def get_val(o):
+            if o not in _sub_cache:
+                _sub_cache[o] = v_adj if o == -1 else \
+                    jnp.where(get_wet(o) > 0, raw_val(o), v_adj)
+            return _sub_cache[o]
+
     recon, betas = [], []
     for m in range(K):
         offs, coeffs = tbl[m]
