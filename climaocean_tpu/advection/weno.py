@@ -93,7 +93,28 @@ def _weno_core(get_val, get_wet, order, weights):
     substencil value at left-biased offset ``o``. Shared by the XLA path
     below and the Pallas kernel (`pallas_weno.py`), so both use the same
     tables and operation order by construction.
-    """
+
+    Near-boundary ORDER REDUCTION (the reference's
+    ``minimum_buffer_upwind_order=3``, `omip_simulation.jl:600`): at faces
+    whose full order-5/7 stencil touches ANY dry cell, the reconstruction
+    drops to order 3 (whose compact substencils select cleanly around a
+    single wall). High order across sharp anomalies pinned against
+    coastlines net-amplifies them — measured in the round-4 year run as a
+    1-cell shelf strip cooling 0.6 K/day under WENO(7) while WENO(3) at
+    the same state RELAXES it (+1.25 K/day); open-ocean faces keep the
+    full order."""
+    res = _weno_fixed_order(get_val, get_wet, order, weights)
+    if get_wet is not None and order > 3:
+        K = (order + 1) // 2
+        all_wet = 1.0
+        for o in range(-K, K - 1):       # the full left-biased stencil span
+            all_wet = all_wet * get_wet(o)
+        low = _weno_fixed_order(get_val, get_wet, 3, weights)
+        res = jnp.where(all_wet > 0, res, low)
+    return res
+
+
+def _weno_fixed_order(get_val, get_wet, order, weights):
     tbl = _LEFT[order]
     K = (order + 1) // 2
     if get_wet is not None:
