@@ -146,7 +146,16 @@ def coupled_step(model, state, t, dt, t_offset=0.0):
     if model.normalize_salinity:
         from ..core.halo import global_sum
         grid0 = model.ocean.grid
-        wet2 = grid0.wet_c[-1]
+        # INTERIOR-masked reduction: the padded wet mask is wet in
+        # periodic-wrap and fold halos, so a plain wet-masked sum (a)
+        # double-counts wrap cells and (b) ingests halo scratch — the
+        # round-4 year run died at day 302 when the ice thermodynamics
+        # NaN'd a fold-halo cell and this global mean spread it to every
+        # ocean cell within one step.
+        Hh = grid0.H
+        interior = jnp.zeros(grid0.az_cc.shape, grid0.az_cc.dtype).at[
+            ..., Hh:Hh + grid0.Ny, Hh:Hh + grid0.Nx].set(1.0)
+        wet2 = grid0.wet_c[-1] * interior
         area = global_sum(grid0.az_cc * wet2)
         mean_QS = global_sum(fluxes.Q_S * grid0.az_cc * wet2) / area
         fluxes = fluxes._replace(Q_S=fluxes.Q_S - mean_QS)

@@ -172,8 +172,12 @@ def slab_thermodynamics(model, ice, ocean_state, atmos, dt):
              + rho_a * wind * Ch_i * (CP_AIR + LS * dqs_dT))
     Q_cond = cond * (Tf - Ts)                          # W/m² into the top from below
     Ts_new = Ts + (Q_atm + Q_cond) / (cond - dQdT)
-    Ts_new = jnp.minimum(Ts_new, 0.0)                  # capped at melting
-    Ts_new = jnp.where(has_ice, Ts_new, jnp.minimum(SST, 0.0))
+    # capped at melting; floored at a physical minimum — halo scratch cells
+    # (never refilled for Ts, pointwise-only) otherwise random-walk to
+    # absurd states whose flux exponentials overflow to NaN (the round-4
+    # year run's day-302 seed), and a floor costs nothing in the interior
+    Ts_new = jnp.clip(Ts_new, -90.0, 0.0)
+    Ts_new = jnp.where(has_ice, Ts_new, jnp.clip(SST, -90.0, 0.0))
 
     # --- surface melt: residual imbalance at Ts = 0 ------------------------
     Q_cond_new = cond * (Tf - Ts_new)
