@@ -257,5 +257,36 @@ def bench_one_degree_coupled(nsteps=8):
     return best
 
 
+def _run_with_retry(n_attempts=4, backoff_s=45.0):
+    """The TPU arrives over a tunnel that can drop (round 4's bench died
+    with `Unable to initialize backend 'axon': UNAVAILABLE` during an
+    outage).  Retry transient backend-unavailable errors with backoff, and
+    if everything fails, still print a parseable one-line diagnostic JSON
+    so a red round is self-describing (VERDICT r4 next-step 1c)."""
+    last = None
+    for attempt in range(n_attempts):
+        try:
+            main()
+            return
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:  # noqa: BLE001 — classified below
+            msg = f"{type(e).__name__}: {e}"
+            transient = any(s in msg for s in
+                            ("UNAVAILABLE", "Unable to initialize backend",
+                             "DEADLINE_EXCEEDED", "Socket closed",
+                             "Connection reset", "INTERNAL"))
+            last = msg
+            if not transient or attempt == n_attempts - 1:
+                break
+            time.sleep(backoff_s * (attempt + 1))
+    print(json.dumps({
+        "metric": "SYPD_quarter_degree", "value": 0.0,
+        "unit": "sim_years/day", "vs_baseline": 0.0,
+        "error": (last or "")[:2000],
+    }))
+    raise SystemExit(1)
+
+
 if __name__ == "__main__":
-    main()
+    _run_with_retry()

@@ -143,6 +143,23 @@ class JRA55FileAtmosphere:
         self.year_span = (self._year_span or SECONDS_PER_YEAR) \
             if self.repeat_year else None
 
+        # Resolve the native sampling plan EAGERLY for every variable: the
+        # window pytree type (InterpolatedAtmosphere vs
+        # PrescribedAtmosphere) must be fixed before the first jitted step
+        # compiles — a lazy mid-run fallback would change the step input's
+        # pytree type and force a recompile of the coupled step (ADVICE
+        # r4, low).  One slab read per variable, construction-time only.
+        if self.native:
+            try:
+                for sn in self.index:
+                    a, lat_f, lon_f = self._read_slab_native(sn, 0)
+                    if self._resolve_native_plan(lat_f, lon_f,
+                                                 a.shape) is None:
+                        break           # plan mismatch: native already off
+            except Exception:
+                self.native = False
+                self._native_plan = None
+
     def _files_for(self, shortname):
         out = []
         for pat in ("*.nc", "*.nc4", "*.cdf"):

@@ -540,8 +540,14 @@ def write_netcdf_part(path, stacked, grid=None):
             for k, val in attrs:
                 setattr(v, k, val)
 
+        # epoch 1900 + explicit calendar: year 0 does not exist in the
+        # standard (udunits/proleptic-Gregorian) calendar and makes
+        # xarray/cftime decoding raise or silently mis-date (ADVICE r4,
+        # low); simulation time is seconds-from-start, so any valid epoch
+        # works — the calendar attribute makes decoding deterministic
         put("time", np.asarray(stacked["time"], np.float64).reshape(nt),
-            ("time",), [("units", b"seconds since 0000-01-01 00:00:00"),
+            ("time",), [("units", b"seconds since 1900-01-01 00:00:00"),
+                        ("calendar", b"proleptic_gregorian"),
                         ("axis", b"T")])
         if "iteration" in stacked:
             put("iteration", np.asarray(stacked["iteration"],

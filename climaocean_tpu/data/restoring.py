@@ -134,9 +134,16 @@ class TimeVaryingDatasetRestoring:
         n = self.targets.shape[0]
         nt = len(ldr.times)
         if period:
-            # unwrapped series: slab i+nt is slab i one period later
+            # unwrapped series: slab i+nt is slab i one period later.
+            # Search with the WRAP-SHIFTED time: for t earlier than the
+            # first slab center (early Jan vs a mid-Jan monthly slab),
+            # target_at interpolates at tt+period, so the window must be
+            # the wrapped [Dec, Jan+period] one — searching the unshifted
+            # tt would re-pick [Jan, Feb] whose bounds never cover tt+period
+            # and reload on every dispatch (ADVICE r4, medium).
+            search_t = tt + period if tt < ldr.times[0] else tt
             ext = np.concatenate([ldr.times, ldr.times + period])
-            i1 = int(np.clip(np.searchsorted(ext, tt), 1, 2 * nt - 1))
+            i1 = int(np.clip(np.searchsorted(ext, search_t), 1, 2 * nt - 1))
             i0 = i1 - 1
         else:
             i1 = int(np.clip(np.searchsorted(ldr.times, tt), 1, nt - 1))

@@ -268,7 +268,7 @@ def _substep_barotropic_padded(bt, grid, GU, GV, dt_stage, substeps,
     use_block = not mid_fill and _use_block_kernel()
     if use_block:
         from .pallas_barotropic import barotropic_block_pallas, block_slabs
-        n_slabs = block_slabs(bt.eta.shape[-2], bt.eta.shape[-1])
+        n_slabs = block_slabs(bt.eta.shape[-2], bt.eta.shape[-1], k=k_defer)
         if n_slabs == 0:
             use_block = False
         else:

@@ -333,17 +333,23 @@ def _block_call(arrs, coeffs, we_block, k, m, n, M, with_eff):
     return tuple(o[:mp, :np_] for o in outs)
 
 
-def block_slabs(nyp, nxp, n_state=8, n_coeff=7, itemsize=4, budget=None):
+def block_slabs(nyp, nxp, n_state=8, n_coeff=7, itemsize=4, budget=None,
+                k=3):
     """Number of y-slabs needed for the block kernel to fit VMEM (live ≈
     state in+out (aliased, counted twice to be safe vs Mosaic accounting)
-    + coefficients + ~6 loop temporaries)."""
+    + coefficients + ~6 loop temporaries).  ``k`` is the substeps-per-block
+    count: the y-slab path adds 2k ghost rows PER SIDE (4k total), so the
+    estimate must use the actual ghost overhead — a flat constant
+    undercounts and can pick too few slabs, turning a finer split into a
+    Mosaic VMEM-limit failure (ADVICE r4, low)."""
     if budget is None:
         budget = _VMEM_LIMIT
     n_live = 2 * n_state + n_coeff + 6
     nx_t = -(-nxp // 128) * 128
     slabs = 1
     while slabs < 32:
-        ny_t = -(-(-(-nyp // slabs)) // 8) * 8 + 8   # + ghost-row overhead
+        ghost = 4 * k if slabs > 1 else 0
+        ny_t = -(-(-(-nyp // slabs) + ghost) // 8) * 8
         if n_live * ny_t * nx_t * itemsize <= budget:
             return slabs
         slabs *= 2

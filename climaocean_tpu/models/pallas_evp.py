@@ -458,16 +458,19 @@ def _evp_block_call(state, consts, k, m, n, alpha, beta, e2):
     return tuple(o[:mp, :np_] for o in outs)
 
 
-def evp_block_slabs(nyp, nxp, itemsize=4, budget=None):
+def evp_block_slabs(nyp, nxp, itemsize=4, budget=None, k=3):
     """y-slab count for the EVP block kernel (live ≈ 2×5 state + 23 consts
-    + ~12 temporaries)."""
+    + ~12 temporaries).  The EVP slab path needs 3k ghost rows per side
+    (6k total: stress→div→velocity consumes 3 rings per substep); use the
+    actual overhead rather than a flat +8 (ADVICE r4, low)."""
     if budget is None:
         budget = _VMEM_LIMIT
     n_live = 2 * 5 + 23 + 12
     nx_t = -(-nxp // 128) * 128
     slabs = 1
     while slabs < 32:
-        ny_t = -(-(-(-nyp // slabs)) // 8) * 8 + 8
+        ghost = 6 * k if slabs > 1 else 0
+        ny_t = -(-(-(-nyp // slabs) + ghost) // 8) * 8
         if n_live * ny_t * nx_t * itemsize <= budget:
             return slabs
         slabs *= 2

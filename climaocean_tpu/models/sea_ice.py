@@ -428,7 +428,7 @@ def _use_evp_block(grid, substeps):
     if not grid.periodic_x or grid.periodic_y:
         return False
     from .pallas_evp import evp_block_slabs
-    if evp_block_slabs(grid.Nyp, grid.Nxp) == 0:
+    if evp_block_slabs(grid.Nyp, grid.Nxp, k=max(1, grid.H // 3)) == 0:
         return False
     return substeps % max(1, grid.H // 3) == 0
 
@@ -453,7 +453,7 @@ def _evp_block(model, ice, grid, P, m_u, m_v, active_u, active_v,
               1.0 / grid.dx_fc, 1.0 / grid.dy_fc,
               1.0 / grid.dy_cf, 1.0 / grid.dx_cf)
     k = max(1, grid.H // 3)
-    n_slabs = evp_block_slabs(grid.Nyp, grid.Nxp)
+    n_slabs = evp_block_slabs(grid.Nyp, grid.Nxp, k=k)
 
     def body(carry, _):
         u, v, s1, s2, s12 = evp_block_pallas(

@@ -180,6 +180,39 @@ def test_refreshed_wraps_december_to_january(tmp_path):
     assert not np.allclose(tgt_dec, tgt_jan)
 
 
+def test_refreshed_early_january_selects_wrapped_window(tmp_path):
+    """Early-January times (before the first slab center) must rotate to
+    the wrapped [Dec, Jan+period] window — searching with the unshifted
+    time re-picks [Jan, Feb], never covers t+period, and reloads (host
+    regrids) on EVERY dispatch for the first ~half month (ADVICE r4,
+    medium)."""
+    from climaocean_tpu.data.metadata import Metadata, WOAMonthly
+    from climaocean_tpu.data.restoring import dataset_restoring
+
+    grid = latitude_longitude_grid((12, 6, 3), z=(-500.0, 0.0), halo=4)
+    meta = Metadata("temperature", dates=tuple(range(1, 13)),
+                    dataset=WOAMonthly(), dir=str(tmp_path))
+    r = dataset_restoring(grid, meta, time_indices_in_memory=2)
+    year = 365.0 * 86400.0
+    month = year / 12.0
+    t_early = 0.2 * month                        # Jan 6 — before mid-Jan slab
+    r2 = r.refreshed(t_early)
+    # the selected window wraps: Dec slab + Jan slab at t+period
+    assert float(r2.times[-1]) > year, r2.times
+    # stable: the wrapped window covers t_early, so no further reload
+    assert r2.refreshed(t_early) is r2
+    # and target_at brackets Dec and Jan (interpolation, not clamp-to-last)
+    H = grid.H
+    tgt = np.asarray(r2.target_at(t_early))[:, H + 2, H + 2]
+    dec_slab = np.asarray(r2.targets[0])[:, H + 2, H + 2]
+    jan_slab = np.asarray(r2.targets[1])[:, H + 2, H + 2]
+    lo = np.minimum(dec_slab, jan_slab) - 1e-5
+    hi = np.maximum(dec_slab, jan_slab) + 1e-5
+    assert ((lo <= tgt) & (tgt <= hi)).all(), (tgt, dec_slab, jan_slab)
+    # closer to Jan than Dec at 6 days vs 24 days distance
+    assert np.abs(tgt - jan_slab).sum() < np.abs(tgt - dec_slab).sum()
+
+
 def test_dataset_restoring_builder_and_rotation(tmp_path):
     """`dataset_restoring(grid, Metadata(WOAMonthly, months...))` builds a
     bounded device window and `refreshed(t)` rotates it host-side with

@@ -96,7 +96,13 @@ def test_in_step_salinity_normalization_zeroes_mean_flux():
     state["ocean"]["S"] = jnp.asarray(Sp)
 
     out = coupled_step(model, state, 0.0, 600.0)
-    wet2 = grid.wet_c[-1]
+    # the invariant is the INTERIOR wet mean (the normalization masks out
+    # wrap/fold halo cells so halo scratch can never poison the global mean
+    # — models/coupled.py interior-masked reduction, round-4 day-302 fix)
+    H2 = grid.H
+    interior = np.zeros(np.asarray(grid.az_cc).shape, np.float32)
+    interior[..., H2:H2 + grid.Ny, H2:H2 + grid.Nx] = 1.0
+    wet2 = grid.wet_c[-1] * interior
     area = float(jnp.sum(grid.az_cc * wet2))
     mean = float(jnp.sum(out["net_fluxes"]["Q_S"] * grid.az_cc * wet2)) / area
     scale = float(jnp.max(jnp.abs(out["net_fluxes"]["Q_S"]))) + 1e-30
