@@ -102,7 +102,8 @@ def atmosphere_ocean_flux_solver(flux_configuration="default"):
 def omip_forcing(grid, start_time=0.0, end_time=10 * days, forcing_dir=None,
                  time_indices_in_memory=None, repeat_year=False):
     """Reference `omip_forcing` (`atmosphere.jl:13-49`): JRA55-do
-    atmosphere + radiation (+ land runoff folded into the precip proxy).
+    atmosphere + radiation. The land member of the reference's triple
+    (rivers + iceberg calving) is built by `omip_land_forcing` below.
 
     Returns ``(window, prefetcher)``. When ``forcing_dir`` holds JRA55-
     style NetCDF files (one per shortname per year, reference
@@ -152,6 +153,41 @@ def omip_forcing(grid, start_time=0.0, end_time=10 * days, forcing_dir=None,
     return synthetic_prescribed_atmosphere(grid, start_time, end_time), None
 
 
+def omip_land_forcing(grid, forcing_dir=None, prefetcher=None,
+                      start_time=0.0, end_time=None, land="auto"):
+    """The land member of the reference's forcing triple
+    (`atmosphere.jl:46` `JRA55PrescribedLand(arch; kw...)`): river runoff
+    (friver) + iceberg calving (licalvf) as a coastal freshwater flux.
+
+    ``land``: "auto" (files when present, else the loud synthetic coastal
+    proxy), True (same), False/None (off). Returns a `PrescribedLand` or
+    None."""
+    if land in (False, None):
+        return None
+    from ..coupler.land import (jra55_prescribed_land,
+                                synthetic_prescribed_land)
+    backend = getattr(prefetcher, "backend", None)
+    if backend is not None and any(sn in backend.index
+                                   for sn in ("friver", "licalvf")):
+        return jra55_prescribed_land(grid, backend, t=start_time)
+    if forcing_dir is not None:
+        from ..data.netcdf import find_netcdf
+        if find_netcdf(forcing_dir, "friver") is not None:
+            from ..coupler.jra55 import JRA55FileAtmosphere
+            be = JRA55FileAtmosphere(grid, forcing_dir)
+            return jra55_prescribed_land(grid, be, t=start_time)
+    import warnings
+    warnings.warn("no friver/licalvf files — using the SYNTHETIC coastal "
+                  "runoff proxy (set CLIMAOCEAN_STRICT_DATA=1 to make "
+                  "this an error)", stacklevel=2)
+    from ..data.metadata import _strict_data
+    if _strict_data():
+        raise FileNotFoundError("no JRA55 land (friver/licalvf) files and "
+                                "strict data mode is on")
+    return synthetic_prescribed_land(grid, start_time,
+                                     end_time or start_time + 365 * days)
+
+
 def _orca_builder(**kw):
     from .orca import orca_ocean
     return orca_ocean(**kw)
@@ -180,7 +216,8 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
                     forcing_end_time=None, forcing_dir=None, staging_dir=None,
                     time_indices_in_memory=240, repeat_year=False,
                     progress_interval=10, Nz=None, steps_per_dispatch=None,
-                    partition=None, diagnostics_kw=None, **config_kw):
+                    partition=None, diagnostics_kw=None, land="auto",
+                    **config_kw):
     """Reference `omip_simulation` (`omip_simulation.jl:292-403`): build the
     coupled OMIP simulation for a named grid configuration. Returns a
     `Simulation` with progress (+STATE_HASH) callback and, when
@@ -275,8 +312,12 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
         forcing_dir=forcing_dir,
         time_indices_in_memory=time_indices_in_memory,
         repeat_year=repeat_year)
+    land_component = omip_land_forcing(
+        grid, forcing_dir=forcing_dir, prefetcher=prefetcher,
+        start_time=0.0, end_time=forcing_end_time or run_end + days,
+        land=land)
     model = OceanSeaIceModel(
-        ocean=ocean_model, atmosphere=atmos, sea_ice=sea_ice,
+        ocean=ocean_model, atmosphere=atmos, sea_ice=sea_ice, land=land_component,
         atmosphere_ocean_fluxes=atmosphere_ocean_flux_solver(flux_configuration),
         # in-step global-mean subtraction (reference NormalizeSalinity,
         # omip_simulation.jl:182-220) — fused into the jitted step so the

@@ -366,15 +366,11 @@ class JRA55FileAtmosphere:
                     ok = False
                     break
                 fields[key] = s
-            if ok:
-                for sn in JRA55_LAND_VARS:
-                    if sn not in self.index:
-                        continue
-                    s = self._var_series(sn, t_abs, t_lo, t_hi, native)
-                    if s is None:
-                        ok = False
-                        break
-                    fields["rain"] = fields["rain"] + s
+            # friver/licalvf are NOT folded into rain: the land freshwater
+            # forcing is its own component (`coupler.land.PrescribedLand`
+            # built from this backend's index — reference
+            # `JRA55PrescribedLand`, atmosphere.jl:46), applied as a
+            # coastal-spread surface salinity flux in the coupled step.
             if ok:
                 break
 

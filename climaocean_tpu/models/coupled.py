@@ -30,7 +30,7 @@ RHO_FRESH = 1000.0
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["ocean", "atmosphere", "sea_ice"],
+         data_fields=["ocean", "atmosphere", "sea_ice", "land"],
          meta_fields=["atmosphere_ocean_fluxes", "atmosphere_sea_ice_fluxes",
                       "ocean_albedo", "ocean_emissivity",
                       "ocean_minimum_salinity", "normalize_salinity"])
@@ -45,6 +45,10 @@ class OceanSeaIceModel:
     ocean: object                               # HydrostaticModel
     atmosphere: object                          # PrescribedAtmosphere
     sea_ice: object = None
+    # prescribed land freshwater (rivers friver + iceberg calving licalvf):
+    # `coupler.land.PrescribedLand` or None (reference `JRA55PrescribedLand`,
+    # atmosphere.jl:46)
+    land: object = None
     atmosphere_ocean_fluxes: object = SimilarityTheoryFluxes()
     atmosphere_sea_ice_fluxes: object = None
     ocean_albedo: float = rad.OCEAN_ALBEDO
@@ -87,7 +91,8 @@ def atmosphere_ocean_fluxes(model, atmos, ocean_state):
     Q_sw = rad.net_shortwave(atmos.Qsw_down, model.ocean_albedo)
     Q_nonpen = turb.Q_sensible + turb.Q_latent + Q_lw      # W/m² into ocean
 
-    # freshwater: E - P (runoff rides `rain` in the synthetic proxy)
+    # freshwater: E - P (land runoff enters separately in coupled_step via
+    # `model.land` — coupler.land.PrescribedLand)
     fw = (turb.evaporation - atmos.rain - atmos.snow) / RHO_FRESH  # m/s out of ocean
     Q_S = SSS * fw                                          # g/kg·m/s into ocean
 
@@ -142,6 +147,21 @@ def coupled_step(model, state, t, dt, t_offset=0.0):
             Q_sw=(1 - a) * fluxes.Q_sw,
             ice_fraction=a,
         )
+
+    if model.land is not None:
+        # coastal freshwater from rivers + iceberg calving, applied AFTER
+        # the sea-ice blending (rivers discharge under ice too) and BEFORE
+        # the normalization (so OMIP's zero-mean constraint accounts for
+        # the runoff input, like the reference's NormalizeSalinity over the
+        # full net flux). R [kg/m²/s] → kinematic salinity flux
+        # −SSS·R/ρ_fresh (freshening). The `wfo` surface diagnostic reads
+        # the resulting Q_S. Reference `JRA55PrescribedLand`
+        # (atmosphere.jl:46; friver/licalvf in jra55_data_staging.jl:8).
+        R = model.land.at_time(t + t_offset)
+        SSS0 = ocean_state["S"][-1]
+        fluxes = fluxes._replace(
+            Q_S=fluxes.Q_S - SSS0 * R / RHO_FRESH
+            * model.ocean.grid.wet_c[-1])
 
     if model.normalize_salinity:
         from ..core.halo import global_sum
@@ -257,7 +277,8 @@ def make_forcing_resolver(model, prefetcher):
     dispatches (the loader's coverage bounds track the LATEST window, so
     rotation must always start from the last rotated instance)."""
     import dataclasses
-    cur = {"closures": getattr(model.ocean, "closures", ())}
+    cur = {"closures": getattr(model.ocean, "closures", ()),
+           "land": model.land}
 
     def resolve(t, t_end):
         m, t_eff = (model, t) if prefetcher is None else \
@@ -267,6 +288,11 @@ def make_forcing_resolver(model, prefetcher):
             m = dataclasses.replace(
                 m, ocean=dataclasses.replace(m.ocean,
                                              closures=cur["closures"]))
+        # land freshwater window rides the same refreshed(t) rotation
+        if cur["land"] is not None and hasattr(cur["land"], "refreshed"):
+            cur["land"] = cur["land"].refreshed(t)
+        if cur["land"] is not model.land:
+            m = dataclasses.replace(m, land=cur["land"])
         return m, t_eff
 
     return resolve

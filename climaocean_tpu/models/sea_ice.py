@@ -54,9 +54,11 @@ K_ICE = 2.03                # W/m/K conductivity
 K_SNOW = 0.31
 LIQUIDUS_SLOPE = 0.054      # T_f = -0.054 S  [°C]
 H_NEW_ICE = 0.5             # lead-closing demarcation thickness [m]
-C_H_ICE_OCEAN = 0.006       # three-equation transfer coefficient
+C_H_ICE_OCEAN = 0.006       # bulk-path transfer coefficient
 MIN_USTAR = 0.005           # SHEBA-ish floor on ice-ocean u★
 CD_IO = 5.5e-3              # quadratic ice-ocean drag coefficient
+GAMMA_T = 0.006             # interface heat-exchange coeff (McPhee 1992/2008)
+GAMMA_S = GAMMA_T / 35.0    # salt exchange; double-diffusive ratio R ≈ 35
 
 
 def default_ice_atmosphere_fluxes():
@@ -74,7 +76,7 @@ def default_ice_atmosphere_fluxes():
                       "atmosphere_fluxes", "snow", "min_thickness",
                       "evp_alpha", "evp_beta", "advection_order",
                       "advection_weights", "ice_salinity",
-                      "lateral_melt_fraction"])
+                      "lateral_melt_fraction", "ice_ocean_heat_flux"])
 @dataclass(frozen=True)
 class SeaIceModel:
     grid: object
@@ -104,6 +106,10 @@ class SeaIceModel:
     # fraction of melt taken laterally (reduces ℵ) vs basal (Hibler 1979
     # two-category closure)
     lateral_melt_fraction: float = 0.5
+    # basal heat flux formulation: "three_equation" (interface T_b/S_b
+    # solve, the reference's corrected default, `omip_simulation.jl:74-77`)
+    # or "bulk" (fixed C_H against the freezing point)
+    ice_ocean_heat_flux: str = "three_equation"
 
     def initial_state(self):
         grid = self.grid
@@ -126,6 +132,46 @@ class SeaIceModel:
 
 def freezing_temperature(S):
     return -LIQUIDUS_SLOPE * S
+
+
+def momentum_based_friction_velocity(du, dv):
+    """u★ = √C_d·|Δu| from the actual ice-ocean velocity difference with
+    the SAME drag coefficient as the EVP stress path (reference
+    `MomentumBasedFrictionVelocity`, `omip_simulation.jl:74-77`; McPhee
+    1992/2008, SHEBA median u★ ≈ 0.01 m/s), floored at MIN_USTAR."""
+    return jnp.maximum(MIN_USTAR,
+                       jnp.sqrt(CD_IO) * jnp.sqrt(du ** 2 + dv ** 2))
+
+
+def three_equation_interface(To, So, Ts, cond, u_star, Si=5.0):
+    """Solve the ice-ocean interface (T_b, S_b) from the coupled
+    heat/salt/liquidus balance (reference `ThreeEquationHeatFlux`,
+    `omip_simulation.jl:74-77`; Holland & Jenkins 1999 ice-shelf form
+    applied at the sea-ice base; McPhee exchange coefficients):
+
+      (1) T_b = −λ S_b                                  (liquidus)
+      (2) ρ₀ c₀ γ_T u★ (T_o − T_b) − k̄(T_b − T_s) = ρᵢ L m   (heat)
+      (3) ρ₀ γ_S u★ (S_o − S_b) = ρᵢ m (S_b − S_i)          (salt)
+
+    with m the basal melt rate [m ice / s, > 0 melting], k̄ the slab
+    conductance ``cond`` [W/m²/K], S_i the bulk ice salinity. Substituting
+    (1) into (2) and eliminating m via (3) gives one quadratic in S_b;
+    the physical (positive) root is selected branchlessly. Returns
+    (T_b, S_b, m)."""
+    lam = LIQUIDUS_SLOPE
+    Ah = RHO_OCEAN * CP_OCEAN * GAMMA_T * u_star + cond
+    Bh = RHO_OCEAN * CP_OCEAN * GAMMA_T * u_star * To + cond * Ts
+    Cs = RHO_OCEAN * GAMMA_S * u_star * L_FUSION
+    # λ·Ah·S² + (Bh − λ·Ah·Si + Cs)·S − (Si·Bh + Cs·So) = 0
+    qa = lam * Ah
+    qb = Bh - lam * Ah * Si + Cs
+    qc = -(Si * Bh + Cs * So)
+    disc = jnp.maximum(qb ** 2 - 4.0 * qa * qc, 0.0)
+    Sb = (-qb + jnp.sqrt(disc)) / (2.0 * qa)
+    Sb = jnp.clip(Sb, 0.0, 100.0)
+    Tb = -lam * Sb
+    m = (Bh + lam * Sb * Ah) / (RHO_ICE * L_FUSION)
+    return Tb, Sb, m
 
 
 def slab_thermodynamics(model, ice, ocean_state, atmos, dt):
@@ -184,12 +230,21 @@ def slab_thermodynamics(model, ice, ocean_state, atmos, dt):
     Q_residual = jnp.maximum(Q_atm + Q_cond_new, 0.0) * (Ts_new >= -1e-6)
     melt_rate_top = Q_residual / (RHO_ICE * L_FUSION)  # m/s of ice
 
-    # --- basal growth/melt: conduction vs three-equation ocean flux --------
-    u_star = jnp.maximum(MIN_USTAR, jnp.sqrt(
-        jnp.sqrt((ice["u"] - ocean_state["u"][-1]) ** 2
-                 + (ice["v"] - ocean_state["v"][-1]) ** 2) * 5e-3))
-    Q_io = RHO_OCEAN * CP_OCEAN * C_H_ICE_OCEAN * u_star * (SST - Tf)  # W/m² ocean->ice
-    growth_bottom = (cond * (Tf - Ts_new) - Q_io) / (RHO_ICE * L_FUSION)
+    # --- basal growth/melt: conduction vs interface ocean flux -------------
+    u_star = momentum_based_friction_velocity(
+        ice["u"] - ocean_state["u"][-1], ice["v"] - ocean_state["v"][-1])
+    if model.ice_ocean_heat_flux == "three_equation":
+        # interface (T_b, S_b) from the coupled heat/salt/liquidus solve —
+        # the reference's corrected_ice_ocean_heat_flux
+        # (`omip_simulation.jl:74-77`)
+        Tb, _Sb, _m = three_equation_interface(SST, SSS, Ts_new, cond,
+                                               u_star, Si=model.ice_salinity)
+        Q_io = RHO_OCEAN * CP_OCEAN * GAMMA_T * u_star * (SST - Tb)
+        growth_bottom = (cond * (Tb - Ts_new) - Q_io) / (RHO_ICE * L_FUSION)
+    else:
+        # bulk fallback: fixed coefficient against the freezing point
+        Q_io = RHO_OCEAN * CP_OCEAN * C_H_ICE_OCEAN * u_star * (SST - Tf)
+        growth_bottom = (cond * (Tf - Ts_new) - Q_io) / (RHO_ICE * L_FUSION)
 
     dh_dyn = jnp.where(has_ice, growth_bottom - melt_rate_top, 0.0) * dt
 

@@ -356,11 +356,12 @@ def _coupled_shard_builder(model, mesh: Mesh, donate=False, prefetcher=None):
 
     model_stacked = partition_tree(model, grid, py, px)
     window_cache = {"id": None, "stacked": model_stacked, "t_ref": 0.0,
-                    "closures": getattr(model.ocean, "closures", ())}
+                    "closures": getattr(model.ocean, "closures", ()),
+                    "land": model.land}
 
     def resolve_model(t, t_end):
         """(model_stacked, t_relative) with the prefetcher window covering
-        [t, t_end] swapped in, and any time-varying restoring windows
+        [t, t_end] swapped in, and any time-varying restoring/land windows
         rotated (both re-partitioned into tiles on swap; same shapes every
         window → jit cache hits)."""
         from ..models.coupled import rotate_restoring
@@ -374,6 +375,13 @@ def _coupled_shard_builder(model, mesh: Mesh, donate=False, prefetcher=None):
                     stacked.ocean,
                     closures=partition_tree(rotated, grid, py, px)))
             window_cache["stacked"] = stacked
+        land = window_cache["land"]
+        if land is not None and hasattr(land, "refreshed"):
+            new_land = land.refreshed(t)
+            if new_land is not land:
+                window_cache["land"] = new_land
+                window_cache["stacked"] = stacked = dataclasses.replace(
+                    stacked, land=partition_tree(new_land, grid, py, px))
         if prefetcher is None:
             return stacked, t
         win, t_ref = prefetcher.window_for(t, t_end)
