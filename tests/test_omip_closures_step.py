@@ -10,7 +10,8 @@ from climaocean_tpu.configurations.omip import omip_simulation
 
 
 @pytest.mark.parametrize("closure",
-                         ["catke", "simple", "rbvd", "kpp", "nemo_tke"])
+                         ["catke", "simple", "rbvd", "nori", "kpp",
+                          "nemo_tke"])
 def test_omip_steps_with_closure(closure):
     sim = omip_simulation("latlon", dt=1800.0, stop_iteration=2,
                           vertical_closure=closure, with_sea_ice=False,
