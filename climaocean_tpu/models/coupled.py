@@ -73,15 +73,23 @@ class OceanSeaIceModel:
 
 def atmosphere_ocean_fluxes(model, atmos, ocean_state):
     """Bulk fluxes + radiation → kinematic ocean surface fluxes."""
+    from ..core.halo import fill_halos
+
     grid = model.ocean.grid
-    SST_K = ocean_state["T"][-1] + CELSIUS
-    SSS = ocean_state["S"][-1]
+    # Halo hygiene: fluxes are computed BEFORE the ocean step's entry
+    # fills, so the surface slices feeding them must be refreshed here —
+    # otherwise stale/poisoned halo values become flux halos, and the
+    # split-explicit forcing (flux-derived) hands them to the deferred-fill
+    # barotropic stencils, reaching interior η within one substep (the
+    # halo-poison invariant test pins this).
+    SST_K = fill_halos(ocean_state["T"][-1], grid) + CELSIUS
+    SSS = fill_halos(ocean_state["S"][-1], grid)
     q_surf = 0.98 * saturation_specific_humidity(SST_K, atmos.p, over_ocean=False)
     # surface velocity in the geographic frame (identity on lat-lon grids;
     # rotation matters on the tripolar cap)
     c, s = grid.rot_cos, grid.rot_sin
-    u_g = ocean_state["u"][-1]
-    v_g = ocean_state["v"][-1]
+    u_g = fill_halos(ocean_state["u"][-1], grid, "u", vector=True)
+    v_g = fill_halos(ocean_state["v"][-1], grid, "v", vector=True)
     u_surf = c * u_g - s * v_g
     v_surf = s * u_g + c * v_g
 
@@ -177,9 +185,32 @@ def coupled_step(model, state, t, dt, t_offset=0.0):
             ..., Hh:Hh + grid0.Ny, Hh:Hh + grid0.Nx].set(1.0)
         wet2 = grid0.wet_c[-1] * interior
         area = global_sum(grid0.az_cc * wet2)
-        mean_QS = global_sum(fluxes.Q_S * grid0.az_cc * wet2) / area
+        # mask by SELECTION, not multiplication: halo scratch can hold
+        # inf/NaN, and 0·inf = NaN would ride the global sum into every
+        # ocean cell (exactly the day-302 class this mask exists to stop)
+        QS_int = jnp.where(wet2 > 0, fluxes.Q_S, 0.0)
+        mean_QS = global_sum(QS_int * grid0.az_cc) / area
         fluxes = fluxes._replace(Q_S=fluxes.Q_S - mean_QS)
 
+    # Halo hygiene: the assembled fluxes must carry VALID halos into the
+    # ocean step — the split-explicit forcing GU/GV is flux-derived and the
+    # deferred-fill barotropic loop consumes its halo ring values, so halo
+    # scratch here reaches interior η/U within one substep (the
+    # 1e30-poison invariant test catches exactly this). Fluxes are
+    # pointwise functions of the prognostic state, so copying wrapped/fold
+    # interior values is exactly what computing on clean halos would give
+    # (the fold's vector sign riding the u/v fills).
+    from ..core.halo import fill_halos as _fh
+    grid0 = model.ocean.grid
+    fluxes = fluxes._replace(
+        tau_x=_fh(fluxes.tau_x, grid0, "u", vector=True),
+        tau_y=_fh(fluxes.tau_y, grid0, "v", vector=True),
+        Q_T=_fh(fluxes.Q_T, grid0),
+        Q_S=_fh(fluxes.Q_S, grid0),
+        Q_sw=_fh(fluxes.Q_sw, grid0),
+        ice_fraction=None if fluxes.ice_fraction is None
+        else _fh(fluxes.ice_fraction, grid0),
+    )
     ocean_new = hyd.step(model.ocean, ocean_state, fluxes, dt,
                          t=t + t_offset)
     # minimum-salinity clamp (omip_simulation.jl ocean_minimum_salinity = 1)
