@@ -200,6 +200,9 @@ _CONFIG_BUILDERS = {
     "latlon": lambda **kw: latitude_longitude_ocean(
         **{"resolution": 1.0, **kw}),
     "onedegree": tri.one_degree_tripolar_ocean,
+    # arbitrary-size tripolar (test/dryrun scale — distributed protocol
+    # coverage on the faked mesh; production constructors below)
+    "tripolar": tri.tripolar_ocean,
     "halfdegree": tri.half_degree_tripolar_ocean,
     "sixthdegree": tri.sixth_degree_tripolar_ocean,
     "tenthdegree": tri.tenth_degree_tripolar_ocean,
@@ -243,6 +246,13 @@ def omip_simulation(config="halfdegree", dt=30 * minutes, stop_time=None,
     if Nz is not None:
         kw["Nz"] = Nz
     kw["closure"] = omip_closure(vertical_closure)
+    if partition is not None and name in ("tripolar", "onedegree",
+                                          "halfdegree", "sixthdegree",
+                                          "tenthdegree"):
+        # distributed tripolar: snap the fold pivot so the fold exchange
+        # is tile-aligned under the (py, px) mesh (`parallel.shard`
+        # requires nx_loc | 2p; `tripolar_grid(fold_alignment_px=...)`)
+        kw.setdefault("fold_alignment_px", int(partition[1]))
     ocean_model, ocean_state = builder(**kw)
     grid = ocean_model.grid
 

@@ -108,3 +108,19 @@ def tenth_degree_tripolar_ocean(Nz=100, depth=5500.0, **kw):
     return _build(3600, 1800, Nz, depth, halo=5, substeps=70, minimum_depth=20,
                   passes=40, basins=1, momentum_order=5, tracer_order=7,
                   biharmonic_timescale=None, **kw)
+
+
+def tripolar_ocean(Nx=48, Ny=24, Nz=4, depth=3000.0, halo=4, substeps=8,
+                   **kw):
+    """Arbitrary-size tripolar builder (test/dryrun scale): the same
+    composition as the production constructors (conformal fold, synthetic
+    bathymetry with cap drying, WENO vector-invariant momentum) on a grid
+    small enough for the faked 8-device CPU mesh — used by the distributed
+    OMIP protocol tests and `dryrun_multichip` (the reference's production
+    distributed runs are tripolar: `sixth_degree_tripolar_ocean_sea_ice.jl:22`,
+    `pbs_launch.sh:51`)."""
+    kw.setdefault("kappa_skew", 500.0)
+    kw.setdefault("kappa_symmetric", 200.0)
+    return _build(Nx, Ny, Nz, depth, halo=halo, substeps=substeps,
+                  minimum_depth=10, passes=2, basins=None, momentum_order=5,
+                  tracer_order=5, biharmonic_timescale=15 * days, **kw)

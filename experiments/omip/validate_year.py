@@ -35,27 +35,66 @@ import sys
 
 
 def run_year(config="onedegree", days=365.0, dt=1200.0, out="output/validate_year",
-             **kw):
+             n_attempts=3, **kw):
+    """Run the scored year; resumable. Transient backend faults (the TPU
+    arrives over a tunnel that can drop mid-run — round 4 lost its final
+    all-fixes year to one) retry from the latest 90-day checkpoint up to
+    ``n_attempts`` times instead of erasing hours of simulation."""
+    import time as _time
+
     from climaocean_tpu.configurations.omip import omip_simulation
+    from climaocean_tpu.simulation.checkpoint import pickup
     from climaocean_tpu.simulation.simulation import IterationInterval
     from climaocean_tpu.utils.units import days as DAY
 
     steps_per_day = int(round(DAY / dt))
-    sim = omip_simulation(
-        config, dt=dt, stop_time=days * DAY, output_dir=out,
-        diagnostics=True, progress_interval=10 * steps_per_day,
-        diagnostics_kw=dict(
-            surface_schedule=IterationInterval(5 * steps_per_day),
-            fields_schedule=IterationInterval(15 * steps_per_day),
-            scalars_schedule=IterationInterval(steps_per_day),
-            checkpoint_schedule=IterationInterval(90 * steps_per_day),
-            file_splitting=30),
-        **kw)
-    sim.run()
-    for w in sim.output_writers:
-        if hasattr(w, "close"):
-            w.close()
-    return sim
+
+    def build():
+        return omip_simulation(
+            config, dt=dt, stop_time=days * DAY, output_dir=out,
+            diagnostics=True, progress_interval=10 * steps_per_day,
+            diagnostics_kw=dict(
+                surface_schedule=IterationInterval(5 * steps_per_day),
+                fields_schedule=IterationInterval(15 * steps_per_day),
+                scalars_schedule=IterationInterval(steps_per_day),
+                checkpoint_schedule=IterationInterval(90 * steps_per_day),
+                file_splitting=30),
+            **kw)
+
+    last = None
+    for attempt in range(n_attempts):
+        sim = build()
+        if attempt > 0:
+            try:
+                if pickup(sim, out, prefix="omip_checkpoint"):
+                    print(f"[validate_year] resumed from checkpoint at "
+                          f"iteration {sim.iteration}", flush=True)
+            except Exception as e:
+                print(f"[validate_year] pickup failed ({e}); "
+                      "restarting from t=0", flush=True)
+        try:
+            sim.run()
+            for w in sim.output_writers:
+                if hasattr(w, "close"):
+                    w.close()
+            return sim
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:  # noqa: BLE001 — classified below
+            msg = f"{type(e).__name__}: {e}"
+            transient = any(s in msg for s in
+                            ("UNAVAILABLE", "INTERNAL", "remote_compile",
+                             "Unable to initialize backend",
+                             "DEADLINE_EXCEEDED", "Socket closed",
+                             "Connection reset"))
+            last = msg
+            print(f"[validate_year] attempt {attempt + 1} failed: "
+                  f"{msg[:400]}", flush=True)
+            if not transient:
+                raise
+            _time.sleep(60.0 * (attempt + 1))
+    raise RuntimeError(f"validate_year: all {n_attempts} attempts failed "
+                       f"(last: {last})")
 
 
 def score(out, grid=None, bands=None):
