@@ -102,7 +102,8 @@ def fig_ice(cache, figdir):
         return []
     tyr = prod["time"] / (365.0 * 86400.0)
     paths = []
-    for qty, unit in (("extent", "10⁶ km²"), ("volume", "10³ km³")):
+    for qty, unit in (("extent", "10⁶ km²"), ("area", "10⁶ km²"),
+                      ("volume", "10³ km³")):
         fig, ax = plt.subplots(figsize=(8, 3))
         for hemi, color, label in (("nh", SERIES_COLORS[0], "Arctic"),
                                    ("sh", SERIES_COLORS[1], "Antarctic")):
@@ -173,6 +174,22 @@ def fig_scalars(cache, figdir):
     fig.suptitle("Scalar budgets")
     return [_save(fig, figdir, "scalars")]
 
+
+
+def fig_ke(cache, figdir):
+    """Reference fig15_ke: global-mean kinetic energy time series (also a
+    panel of fig_scalars; kept as its own product for 1:1 figure parity)."""
+    plt = _mpl()
+    s = cache.get("scalars")
+    if "ke" not in s:
+        return []
+    fig, ax = plt.subplots(figsize=(8, 3))
+    ax.plot(s["time"] / (365.0 * 86400.0), s["ke"], color=SERIES_COLORS[0],
+            linewidth=2)
+    ax.set_xlabel("simulated years")
+    ax.set_ylabel("KE [m²/s²]")
+    ax.set_title("Global-mean kinetic energy")
+    return [_save(fig, figdir, "ke")]
 
 
 def _map(ax, fig, data, label, cmap, signed=False, vmax_q=99.0):
@@ -367,6 +384,19 @@ def fig_zonal_mean(cache, figdir):
         ax.set_title("Zonal-mean mixed-layer depth")
         ax.invert_yaxis()
         paths.append(_save(fig, figdir, "mld_zonal_mean"))
+
+    if "b_drift" in prod:
+        # reference fig19_zonal_drift third panel: zonal buoyancy drift
+        fig, ax = plt.subplots(figsize=(7, 4))
+        d = prod["b_drift"]
+        lo, hi = _sym_limits(d)
+        im = ax.pcolormesh(lat, z, d, cmap=DIVERGING, vmin=lo, vmax=hi)
+        fig.colorbar(im, ax=ax, label="Δb [m/s²]")
+        ax.set_xlabel("latitude")
+        ax.set_ylabel("z [m]")
+        ax.set_title("Zonal-mean buoyancy drift (end − start)")
+        ax.grid(False)
+        paths.append(_save(fig, figdir, "zonal_buoyancy_drift"))
     return paths
 
 
@@ -430,7 +460,21 @@ def fig_mld_seasonal(cache, figdir):
                            (axes[1], "summer_min", "Min MLD (summer)")):
         _map(ax, fig, prod[key], "MLD [m]", SEQUENTIAL)
         ax.set_title(title)
-    return [_save(fig, figdir, "mld_seasonal")]
+    paths = [_save(fig, figdir, "mld_seasonal")]
+
+    if "winter_max_zonal" in prod:
+        # reference fig20_mld_zonal_mean: seasonal zonal-mean MLD curves
+        fig, axes = plt.subplots(1, 2, figsize=(11, 3.2), sharex=True)
+        for ax, key, title in (
+                (axes[0], "summer_min_zonal", "Zonal-mean MLD (summer min)"),
+                (axes[1], "winter_max_zonal", "Zonal-mean MLD (winter max)")):
+            ax.plot(prod["lat"], np.abs(prod[key]), color=SERIES_COLORS[0],
+                    linewidth=2)
+            ax.set_xlabel("latitude")
+            ax.set_ylabel("MLD [m]")
+            ax.set_title(title, fontsize=9)
+        paths.append(_save(fig, figdir, "mld_zonal_seasonal"))
+    return paths
 
 
 def fig_euc(cache, figdir):
@@ -497,6 +541,7 @@ def render_all(outdir, grid=None, prefix="omip", figdir=None):
             print(f"skip {fn.__name__}: {e}")
 
     attempt(fig_scalars)
+    attempt(fig_ke)
     attempt(fig_mld)
     attempt(fig_siconc)
     if grid is not None:

@@ -432,6 +432,29 @@ def _load_zonal_mean(c):
         mld = s["mlotst"].mean(axis=0)
         out["mld_zonal"] = (mld * wet2).sum(axis=-1) / \
             np.maximum(wet2.sum(axis=-1), 1)
+    # zonal buoyancy drift b_end − b_start (reference fig19_zonal_drift's
+    # third panel, `zonal_buoyancy_drift`): buoyancy from TEOS-10 at the
+    # first and last saved 3-D snapshots, zonally averaged
+    try:
+        from .field_time_series import FieldTimeSeries, InMemory
+        from ..physics import eos as eos_mod
+
+        ftsT = FieldTimeSeries(c.dir, c.prefix + "_fields", "T", InMemory(2))
+        ftsS = FieldTimeSeries(c.dir, c.prefix + "_fields", "S", InMemory(2))
+        if len(ftsT) >= 2:
+            z3 = np.asarray(grid.z_c)[:, None, None]
+
+            def buoy(T, S):
+                import jax.numpy as jnp
+                return np.asarray(eos_mod.buoyancy(
+                    jnp.asarray(S), jnp.asarray(T),
+                    jnp.asarray(np.broadcast_to(z3, T.shape))))
+
+            db = buoy(ftsT[len(ftsT) - 1], ftsS[len(ftsS) - 1]) \
+                - buoy(ftsT[0], ftsS[0])
+            out["b_drift"] = (db * wet).sum(axis=-1) / nwet
+    except Exception:
+        pass                                  # EOS variant w/o anomaly: skip
     try:
         from ..data.metadata import Metadatum, WOAAnnual, regrid_to_grid
         clim_dir = getattr(c, "clim_dir", None) or os.path.join(c.dir, "clim")
@@ -541,6 +564,20 @@ def _load_mld_seasonal(c):
     with np.errstate(all="ignore"):
         out = {"winter_max": np.nanmax(monthly, axis=0),
                "summer_min": np.nanmin(monthly, axis=0)}
+    # zonal-mean seasonal curves (reference fig20_mld_zonal_mean:
+    # "Zonal-mean MLD (summer minimum / winter maximum)")
+    if c.grid is not None:
+        H = c.grid.H
+        wet2 = np.asarray(c.grid.wet_c[-1])[H:H + c.grid.Ny,
+                                            H:H + c.grid.Nx] > 0
+        lat = np.asarray(c.grid.lat_cc)[H:H + c.grid.Ny, H:H + c.grid.Nx]
+        n2 = np.maximum(wet2.sum(axis=-1), 1)
+        out["lat"] = np.where(wet2.sum(axis=-1) > 0,
+                              (lat * wet2).sum(axis=-1) / n2,
+                              lat.mean(axis=-1))
+        for key in ("winter_max", "summer_min"):
+            v = np.where(np.isfinite(out[key]), out[key], 0.0)
+            out[f"{key}_zonal"] = (v * wet2).sum(axis=-1) / n2
     obs = load_observation(c, "dbm_mld")
     if obs is not None and obs["mld"].shape == out["winter_max"].shape:
         out["winter_vs_obs"] = out["winter_max"] - obs["mld"]

@@ -240,4 +240,9 @@ def test_observation_overlays(tmp_path):
             "ts_drift_heatmap.png", "zonal_mean.png", "mld_zonal_mean.png",
             "mld_seasonal.png", "ice_extent_climatology.png",
             "siconc_seasonal.png", "equatorial_undercurrent.png",
-            "amoc_rapid_index.png", "amoc_psi_z_26n.png"} <= names
+            "amoc_rapid_index.png", "amoc_psi_z_26n.png",
+            # r5 additions closing the 26-figure-suite gap: KE series
+            # (fig15), sea-ice area series (fig13), seasonal zonal MLD
+            # (fig20), zonal buoyancy drift (fig19)
+            "ke.png", "ice_area.png", "mld_zonal_seasonal.png",
+            "zonal_buoyancy_drift.png"} <= names
