@@ -204,8 +204,10 @@ def test_netcdf_prescribed_atmosphere(jra55_dir):
     # interpolation to the model grid happens in at_time)
     for k in ("u", "v", "T", "q", "p", "Qsw_down", "Qlw_down", "rain", "snow"):
         assert atm.fields[k].shape[0] == 3
-    # rain includes friver
-    assert float(atm.fields["rain"][0].mean()) == pytest.approx(1.2e-5, rel=1e-2)
+    # rain is prra ONLY: river runoff is its own land component now
+    # (coupler.land.PrescribedLand — reference JRA55PrescribedLand,
+    # atmosphere.jl:46), no longer folded into the precip proxy
+    assert float(atm.fields["rain"][0].mean()) == pytest.approx(1.0e-5, rel=1e-2)
     st = atm.at_time(1.5 * 3600.0)  # halfway between slabs 0 and 1
     assert np.asarray(st.T).shape == (grid.Nyp, grid.Nxp)
     assert float(np.asarray(st.T).mean()) == pytest.approx(280.0 * 1.005, rel=1e-3)
