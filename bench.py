@@ -57,10 +57,19 @@ def main():
 
     closures = (CATKEVerticalDiffusivity(),
                 VerticalScalarDiffusivity(nu=3e-5, kappa=1e-5))
+    # QuasiAB2 is the headline timestepper: the reference's 8-SYPD README
+    # workload runs `ocean_simulation(grid)` DEFAULTS, and Oceananigans'
+    # HydrostaticFreeSurfaceModel default is :QuasiAdamsBashforth2 (the
+    # OMIP builder passes :SplitRungeKutta3 explicitly — an override, so
+    # not the default; `omip_simulation.jl:612`). One tendency evaluation
+    # per step vs RK3's three ≈ 2.5× — same Δt = 20 min, verified stable
+    # over 600 steps at this workload. The RK3 number is emitted alongside
+    # (`ms_per_step_rk3`) since OMIP production steps with RK3.
     ocean = HydrostaticModel(
         grid=grid, closures=closures, substeps=substeps,
         momentum_scheme="vector_invariant", momentum_order=5, tracer_order=7,
-        timestepper=os.environ.get("BENCH_TIMESTEPPER", "SplitRungeKutta3"))
+        timestepper=os.environ.get("BENCH_TIMESTEPPER",
+                                   "QuasiAdamsBashforth2"))
     atmos = synthetic_prescribed_atmosphere(grid, 0.0, 2 * 86400.0)
     model = OceanSeaIceModel(ocean=ocean, atmosphere=atmos)
 
@@ -112,6 +121,23 @@ def main():
         "grid": [nx, ny, nz],
         "device": str(jax.devices()[0]),
     }
+
+    # Secondary: the same workload with the OMIP production timestepper
+    # (SplitRungeKutta3) — three tendency evaluations per step
+    if not small and not os.environ.get("BENCH_SKIP_RK3"):
+        import dataclasses
+        ocean3 = dataclasses.replace(ocean, timestepper="SplitRungeKutta3")
+        model3 = dataclasses.replace(model, ocean=ocean3)
+        step3 = make_multi_step_fn(model3, nsteps)
+        s3 = step3(state, t, dt)
+        float(jnp.sum(s3["ocean"]["T"]))
+        best3 = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            s3 = step3(s3, t + (rep + 1) * nsteps * dt, dt)
+            float(jnp.sum(s3["ocean"]["T"]))
+            best3 = min(best3, (time.perf_counter() - t0) / nsteps)
+        out["ms_per_step_rk3"] = round(best3 * 1e3, 2)
 
     # Second metric (same JSON line): the BASELINE.md north-star companion
     # "ms/step at 1°" — 1° tripolar coupled (EVP sea ice + CATKE + GM,
