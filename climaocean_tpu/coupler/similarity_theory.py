@@ -92,9 +92,16 @@ def psi_h(zeta):
 # same Paulson unstable branch with a stronger stable branch, matching the
 # reference's `atmosphere_sea_ice_stability_functions` intent.
 def psi_m_ice(zeta):
-    stable = -(0.7 * zeta + 0.75 * (zeta - 14.3) * jnp.exp(-jnp.minimum(0.35 * zeta, 20.0))
-               + 10.7)
-    stable = jnp.where(zeta > 0, stable + 10.7, 0.0)
+    # Holtslag & De Bruin (1988) stable form (the SHEBA-era polar
+    # operating choice): ψ = −(0.7ζ + 0.75(ζ−14.3)e^{−0.35ζ} + 10.7).
+    # The constant cancels at ζ→0 through the 0.75·(−14.3) term
+    # (ψ(0⁺) ≈ +0.025), so NO offset may be re-added — a previous +10.7
+    # "normalization" made ψ ≈ +10 at small stable ζ, collapsed
+    # χ = log(h/z0) − ψ to its clamp, and inflated stable-regime
+    # ice-atmosphere fluxes ~10× (caught by the iterated-Ts balance test).
+    stable = -(0.7 * zeta + 0.75 * (zeta - 14.3)
+               * jnp.exp(-jnp.minimum(0.35 * zeta, 20.0)) + 10.7)
+    stable = jnp.where(zeta > 0, stable, 0.0)
     return jnp.where(zeta < 0, psi_paulson_unstable_m(jnp.minimum(zeta, -1e-10)),
                      stable)
 
