@@ -185,7 +185,7 @@ def jra55_prescribed_land(grid, backend, t=0.0, n_window=8):
 
 
 def synthetic_prescribed_land(grid, t0=0.0, t1=SECONDS_PER_YEAR,
-                              amplitude=2e-5, n_times=5):
+                              amplitude=2e-5, n_times=None):
     """Analytic land-forcing proxy (the loud-synthetic-fallback pattern of
     `data.metadata`): runoff concentrated on coastal wet cells (wet with a
     dry neighbour), weighted toward the tropics and high northern
@@ -207,6 +207,14 @@ def synthetic_prescribed_land(grid, t0=0.0, t1=SECONDS_PER_YEAR,
     mask = np.zeros_like(base)
     mask[H:H + grid.Ny, H:H + grid.Nx] = 1.0
     base = base * mask
+    if n_times is None:
+        # ~monthly sampling so multi-year spans don't alias the seasonal
+        # cycle (a fixed 5 samples over 3 years made it nonsense); capped
+        # — very long synthetic spans coarsen rather than ballooning HBM
+        # (file-backed land uses the rotating 8-slab window instead)
+        n_times = min(max(5, int(round((float(t1) - float(t0))
+                                       / (SECONDS_PER_YEAR / 12.0))) + 1),
+                      61)
     times = np.linspace(float(t0), float(t1), int(n_times))
     season = 1.0 + 0.5 * np.sin(2 * np.pi * (times / SECONDS_PER_YEAR - 0.4))
     runoff = np.asarray(amplitude, np.float32) * season[:, None, None] \
