@@ -176,9 +176,18 @@ def omip_land_forcing(grid, forcing_dir=None, prefetcher=None,
     if forcing_dir is not None:
         from ..data.netcdf import find_netcdf
         if find_netcdf(forcing_dir, "friver") is not None:
-            from ..coupler.jra55 import JRA55FileAtmosphere
-            be = JRA55FileAtmosphere(grid, forcing_dir)
-            return jra55_prescribed_land(grid, be, t=start_time)
+            try:
+                from ..coupler.jra55 import JRA55FileAtmosphere
+                be = JRA55FileAtmosphere(grid, forcing_dir)
+                return jra55_prescribed_land(grid, be, t=start_time)
+            except Exception as e:
+                # e.g. friver files present but the full atmosphere set
+                # absent (the backend requires it) — land='auto' promises
+                # a fallback, not a crash
+                import warnings
+                warnings.warn(f"could not build file-backed land forcing "
+                              f"({e}) — using the synthetic coastal proxy",
+                              stacklevel=2)
     import warnings
     warnings.warn("no friver/licalvf files — using the SYNTHETIC coastal "
                   "runoff proxy (set CLIMAOCEAN_STRICT_DATA=1 to make "

@@ -151,7 +151,12 @@ class JRA55FileAtmosphere:
         # r4, low).  One slab read per variable, construction-time only.
         if self.native:
             try:
-                for sn in self.index:
+                # ATMOSPHERE variables only: land vars (friver/licalvf)
+                # are served by the land loader through the regridding
+                # path and must not veto native mode for the atmosphere
+                for sn in JRA55_FIELD_MAP:
+                    if sn not in self.index:
+                        continue
                     a, lat_f, lon_f = self._read_slab_native(sn, 0)
                     if self._resolve_native_plan(lat_f, lon_f,
                                                  a.shape) is None:

@@ -60,20 +60,30 @@ def spread_to_coast(runoff, grid, max_passes=64):
     wet_b = wet[None] if m.ndim == 3 else wet
 
     def shift(a, dy, dx):
+        """Move mass one cell over; at non-periodic edges the mass that
+        would leave the domain STAYS in the edge cell (clamp, not zero —
+        zeroing silently destroyed up to a quarter of an edge-row river's
+        discharge per pass)."""
         out = a
         if dx:
             out = np.roll(out, dx, axis=-1)
             if not grid.periodic_x:
+                # the roll carried the edge cell's mass around the wrap;
+                # send it back to the edge it left
                 if dx > 0:
-                    out[..., :dx] = 0.0
+                    out[..., -1] += out[..., 0]
+                    out[..., 0] = 0.0
                 else:
-                    out[..., dx:] = 0.0
+                    out[..., 0] += out[..., -1]
+                    out[..., -1] = 0.0
         if dy:
             out = np.roll(out, dy, axis=-2)
             if dy > 0:
-                out[..., :dy, :] = 0.0
+                out[..., -1, :] += out[..., 0, :]
+                out[..., 0, :] = 0.0
             else:
-                out[..., dy:, :] = 0.0
+                out[..., 0, :] += out[..., -1, :]
+                out[..., -1, :] = 0.0
         return out
 
     for _ in range(max_passes):
@@ -89,27 +99,35 @@ def spread_to_coast(runoff, grid, max_passes=64):
 
 
 @partial(jax.tree_util.register_dataclass, data_fields=["times", "runoff"],
-         meta_fields=["loader"])
+         meta_fields=["loader", "period"])
 @dataclass(frozen=True)
 class PrescribedLand:
     """Device-resident land freshwater window.
 
-    ``times``: (n,) ABSOLUTE simulation seconds; ``runoff``: (n, Nyp,
-    Nxp) freshwater mass flux [kg/m²/s] on the model grid, wet-only
-    (already coastal-spread). ``loader`` keeps the host-side address for
-    `refreshed` rotation (None for static/synthetic forcing)."""
+    ``times``: (n,) ABSOLUTE simulation seconds (repeat-year windows may
+    carry UNWRAPPED times past the period end, like
+    `TimeVaryingDatasetRestoring` — the Dec→Jan window); ``runoff``:
+    (n, Nyp, Nxp) freshwater mass flux [kg/m²/s] on the model grid,
+    wet-only (already coastal-spread). ``loader`` keeps the host-side
+    address for `refreshed` rotation (None for static/synthetic
+    forcing); ``period`` wraps time for repeat-year series."""
     times: jnp.ndarray
     runoff: jnp.ndarray
     loader: object = None
+    period: object = None
 
     def at_time(self, t):
-        t = jnp.asarray(t, dtype=self.times.dtype)
+        tt = jnp.asarray(t, dtype=self.times.dtype)
+        if self.period is not None:
+            tt = jnp.mod(tt, jnp.asarray(self.period, self.times.dtype))
+            # wrap-aware: a rotated Dec→Jan window stores unwrapped times
+            tt = jnp.where(tt < self.times[0], tt + self.period, tt)
         n = self.times.shape[0]
-        i1 = jnp.clip(jnp.searchsorted(self.times, t), 1, n - 1)
+        i1 = jnp.clip(jnp.searchsorted(self.times, tt), 1, n - 1)
         i0 = i1 - 1
         t0 = jnp.take(self.times, i0)
         t1 = jnp.take(self.times, i1)
-        w = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-6), 0.0, 1.0)
+        w = jnp.clip((tt - t0) / jnp.maximum(t1 - t0, 1e-6), 0.0, 1.0)
         return (1.0 - w) * jnp.take(self.runoff, i0, axis=0) \
             + w * jnp.take(self.runoff, i1, axis=0)
 
@@ -117,15 +135,21 @@ class PrescribedLand:
         """Host-side window rotation (same contract as
         `TimeVaryingDatasetRestoring.refreshed`): no-op while ``t`` is
         covered; otherwise reload the window around ``t`` from the loader
-        with the SAME shapes."""
+        with the SAME shapes. The coverage check reads bounds cached on
+        the LOADER — pure host arithmetic, no device sync per dispatch."""
         if self.loader is None:
             return self
-        lo, hi = float(self.times[0]), float(self.times[-1])
-        tt = self.loader.wrap(float(t))
-        if lo <= tt <= hi:
+        ldr = self.loader
+        tt = ldr.wrap(float(t))
+        lo, hi = getattr(ldr, "loaded_bounds", None) or \
+            (float(self.times[0]), float(self.times[-1]))
+        period = float(self.period) if self.period else None
+        tt_eff = tt + period if (period and tt < lo) else tt
+        if lo <= tt_eff <= hi:
             return self
         import dataclasses as _dc
-        times, runoff = self.loader.window(tt, self.runoff.shape[0])
+        times, runoff = ldr.window(tt, self.runoff.shape[0])
+        ldr.loaded_bounds = (float(times[0]), float(times[-1]))
         return _dc.replace(self, times=jnp.asarray(times, jnp.float32),
                            runoff=jnp.asarray(runoff))
 
@@ -146,6 +170,9 @@ class _JRA55LandLoader:
         self.names = names
         # common (daily) time axis from the first land variable
         self.times = backend._var_times(names[0])
+        # (t_lo, t_hi) of the loaded window, host-side (no device sync in
+        # the per-dispatch refreshed() coverage check)
+        self.loaded_bounds = None
 
     def wrap(self, t):
         if self.backend.repeat_year:
@@ -154,13 +181,28 @@ class _JRA55LandLoader:
 
     def window(self, t, n):
         vt = self.times
-        i1 = int(np.clip(np.searchsorted(vt, t), 1, len(vt) - 1))
-        i0 = int(np.clip(i1 - 1, 0, max(0, len(vt) - n)))
-        idx = list(range(i0, min(i0 + n, len(vt))))
-        while len(idx) < n:                          # clamp at series end
-            idx.append(idx[-1])
+        nt = len(vt)
+        if self.backend.repeat_year:
+            # wrap-aware selection on the extended axis: slab i+nt is
+            # slab i one period later, so late-December windows continue
+            # into January with UNWRAPPED times and the year seam
+            # interpolates instead of clamping/reloading every dispatch
+            period = float(self.backend.year_span)
+            search_t = t + period if t < vt[0] else t
+            ext = np.concatenate([vt, vt + period])
+            i1 = int(np.clip(np.searchsorted(ext, search_t), 1, 2 * nt - 1))
+            i0 = i1 - 1
+            idx = [min(i0 + k, 2 * nt - 1) for k in range(n)]
+            times = ext[idx].astype(np.float32)
+            read_idx = [i % nt for i in idx]
+        else:
+            i1 = int(np.clip(np.searchsorted(vt, t), 1, nt - 1))
+            i0 = int(np.clip(i1 - 1, 0, max(0, nt - n)))
+            idx = [min(i0 + k, nt - 1) for k in range(n)]
+            times = vt[idx].astype(np.float32)
+            read_idx = idx
         slabs = []
-        for i in idx:
+        for i in read_idx:
             s = None
             for sn in self.names:
                 a = self.backend._read_slab(sn, min(i, len(
@@ -168,10 +210,8 @@ class _JRA55LandLoader:
                 a = np.nan_to_num(np.asarray(a), nan=0.0)
                 s = a if s is None else s + a
             slabs.append(np.maximum(s, 0.0))
-        stack = np.stack(slabs)
-        stack = spread_to_coast(stack, self.grid)
-        return vt[[min(i, len(vt) - 1) for i in idx]].astype(np.float32), \
-            jnp.asarray(stack)
+        stack = spread_to_coast(np.stack(slabs), self.grid)
+        return times, jnp.asarray(stack)
 
 
 def jra55_prescribed_land(grid, backend, t=0.0, n_window=8):
@@ -180,8 +220,11 @@ def jra55_prescribed_land(grid, backend, t=0.0, n_window=8):
     `atmosphere.jl:46`)."""
     loader = _JRA55LandLoader(backend, grid)
     times, runoff = loader.window(loader.wrap(float(t)), int(n_window))
+    loader.loaded_bounds = (float(times[0]), float(times[-1]))
     return PrescribedLand(times=jnp.asarray(times, jnp.float32),
-                          runoff=runoff, loader=loader)
+                          runoff=runoff, loader=loader,
+                          period=(float(backend.year_span)
+                                  if backend.repeat_year else None))
 
 
 def synthetic_prescribed_land(grid, t0=0.0, t1=SECONDS_PER_YEAR,

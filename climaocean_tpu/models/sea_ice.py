@@ -307,15 +307,19 @@ def slab_thermodynamics(model, ice, ocean_state, atmos, dt):
         hs_new = jnp.where(h_new > 1e-4, hs_new, 0.0)
         # snow-ice formation: where the snow load pushes the freeboard
         # negative (Archimedes: h − (ρᵢh + ρₛhₛ)/ρ_w < 0), the flooded
-        # snow converts to ice at the waterline — the standard slab
-        # closure (CICE/SI3; the reference's snow model forms snow-ice
-        # the same way). h_si restores freeboard = 0; snow mass ρₛ·Δhₛ
-        # becomes ice mass ρᵢ·h_si (pore seawater freezing implicit).
+        # snow column converts to ice at the waterline — the CICE/SI3
+        # FLOODING model: the snow volume h_si keeps its snow mass and
+        # its pores fill with seawater that freezes, so Δh = +h_si,
+        # Δhₛ = −h_si (volume for volume), seawater mass frozen
+        # = (ρᵢ−ρₛ)·h_si. Solving freeboard = 0 with those increments:
+        #   h_si = (ρₛ·hₛ − (ρ_w−ρᵢ)·h) / (ρₛ + ρ_w − ρᵢ).
+        # The seawater-derived ice share (1 − ρₛ/ρᵢ)·h_si — and ONLY it —
+        # rejects brine (see dh_brine below); the snow share is fresh.
         h_si = jnp.maximum(
             (RHO_SNOW * hs_new - (RHO_OCEAN - RHO_ICE) * h_new)
-            / RHO_OCEAN, 0.0) * (h_new > 1e-4)
+            / (RHO_SNOW + RHO_OCEAN - RHO_ICE), 0.0) * (h_new > 1e-4)
         h_new = jnp.clip(h_new + h_si, 0.0, 20.0)
-        hs_new = jnp.maximum(hs_new - h_si * (RHO_ICE / RHO_SNOW), 0.0)
+        hs_new = jnp.maximum(hs_new - h_si, 0.0)
     else:
         hs_new = hs
         h_si = jnp.zeros_like(h_new)

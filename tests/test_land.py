@@ -180,3 +180,99 @@ def test_jra55_land_window_and_rotation(tmp_path):
     win, _ = be.window_for_time(0.0)
     atmos = win.at_time(0.5 * 86400.0)
     assert float(np.asarray(atmos.rain).max()) < 2e-5   # prra only
+
+
+def test_land_repeat_year_wrap_and_seam(tmp_path):
+    """Repeat-year land forcing: at_time wraps absolute time (year 2 must
+    reproduce year 1, not clamp to the window's last slab), the
+    late-December window continues into January with unwrapped times
+    (one rotation, not a reload per dispatch), and the coverage check is
+    host-side (loader bounds)."""
+    from scipy.io import netcdf_file
+
+    from climaocean_tpu.coupler.jra55 import JRA55FileAtmosphere
+    from climaocean_tpu.coupler.land import jra55_prescribed_land
+
+    grid, lon, lat = _grid()
+    nlat, nlon, nt = 36, 72, 73                    # ~5-day cadence, 1 year
+    latf = np.linspace(-89.5, 89.5, nlat)
+    lonf = np.linspace(-180.0, 180.0, nlon, endpoint=False)
+    span = 365.0 * 86400.0
+
+    def write(name, vals):
+        f = netcdf_file(str(tmp_path / f"{name}_y1958.nc"), "w", version=2)
+        f.createDimension("time", nt)
+        f.createDimension("lat", nlat)
+        f.createDimension("lon", nlon)
+        tv = f.createVariable("time", "f8", ("time",))
+        tv[:] = 5.0 * 24.0 * np.arange(nt)
+        tv.units = b"hours since 1958-01-01"
+        la = f.createVariable("lat", "f8", ("lat",))
+        la[:] = latf
+        la.units = b"degrees_north"
+        lo = f.createVariable("lon", "f8", ("lon",))
+        lo[:] = lonf
+        lo.units = b"degrees_east"
+        v = f.createVariable(name, "f4", ("time", "lat", "lon"))
+        v[:] = vals
+        f.close()
+
+    for name, val in (("tas", 280.0), ("huss", 0.008), ("psl", 101325.0),
+                      ("uas", 5.0), ("vas", 0.0), ("rlds", 340.0),
+                      ("rsds", 180.0), ("prra", 1e-5), ("prsn", 0.0)):
+        write(name, np.full((nt, nlat, nlon), val, np.float32))
+    friver = np.zeros((nt, nlat, nlon), np.float32)
+    # seasonally-varying river: amplitude encodes the time index
+    friver[:, 18, 30] = 1e-4 * (1.0 + np.sin(2 * np.pi * np.arange(nt) / nt))
+    write("friver", friver)
+
+    be = JRA55FileAtmosphere(grid, str(tmp_path), time_indices_in_memory=8,
+                             repeat_year=True, year_span=span)
+    land = jra55_prescribed_land(grid, be, t=0.0, n_window=4)
+    assert land.period == span
+
+    # year-2 time reproduces year-1 (wrap in at_time). Rotation CHAINS
+    # from the latest instance (the resolver's contract — loader bounds
+    # describe the latest window): land → land1 → land2.
+    t1 = 30 * 86400.0
+    land1 = land.refreshed(t1)
+    r_y1 = np.asarray(land1.at_time(t1))
+    land2 = land1.refreshed(span + t1)
+    assert land2 is land1            # year-2 wrap is covered, no reload
+    r_y2 = np.asarray(land2.at_time(span + t1))
+    np.testing.assert_allclose(r_y2, r_y1, rtol=1e-4, atol=1e-10)
+
+    # late-December: window continues past the period with unwrapped times
+    t_dec = span - 2.0 * 86400.0
+    land3 = land2.refreshed(t_dec)
+    assert float(land3.times[-1]) > span
+    # and the seam window is STABLE: no reload on subsequent dispatches
+    assert land3.refreshed(t_dec) is land3
+    assert land3.refreshed(t_dec + 1.5 * 86400.0) is land3
+    # early-January of the next cycle still covered by the wrapped window
+    assert land3.refreshed(span + 0.5 * 86400.0) is land3
+    r_seam = np.asarray(land3.at_time(span + 0.5 * 86400.0))
+    assert np.isfinite(r_seam).all()
+
+
+def test_spread_to_coast_keeps_edge_mass():
+    """Mass on a dry cell in the first/last interior row must reach wet
+    cells, not fall off the domain edge (the old roll-and-zero dropped a
+    quarter per pass)."""
+    grid, lon, lat = _grid()
+    H = grid.H
+    wet = np.asarray(grid.wet_c[-1]) > 0
+    az = np.asarray(grid.az_cc)
+    # find a dry cell in the FIRST interior row; if none, make the test
+    # vacuous (synthetic bathymetry always has polar land in practice)
+    row = H
+    dry_cols = np.where(~wet[row, H:H + grid.Nx])[0]
+    if len(dry_cols) == 0:
+        return
+    r = np.zeros(wet.shape, np.float32)
+    r[row, H + dry_cols[0]] = 5e-5
+    mass_in = float((r * az)[H:H + grid.Ny, H:H + grid.Nx].sum())
+    out = spread_to_coast(r, grid)
+    mass_out = float((out * az)[H:H + grid.Ny, H:H + grid.Nx].sum())
+    assert mass_out > 0.9 * mass_in, (mass_in, mass_out)
+    assert (out[~wet] == 0).all()

@@ -381,11 +381,10 @@ def test_snow_ice_formation_restores_freeboard():
     hs1 = np.asarray(grid.interior(new["snow"]))[wet].mean()
     dh, dhs = h1 - h0, hs0 - hs1
     assert dh > 0.01 and dhs > 0.01, (dh, dhs)     # conversion happened
-    # mass conservation of the conversion: ρ_i dh_si = ρ_s dh_s — basal
-    # growth also adds a little ice in 1 h, so compare the snow-derived
-    # share with 15% slack
-    assert abs(si.RHO_ICE * dh - si.RHO_SNOW * dhs) \
-        < 0.15 * si.RHO_SNOW * dhs + si.RHO_ICE * 2e-3, (dh, dhs)
+    # flooding model: volume-for-volume conversion (Δh = −Δhₛ = h_si; the
+    # extra ice mass is frozen pore seawater) — basal growth adds a
+    # little ice in 1 h, so allow slack
+    assert abs(dh - dhs) < 0.15 * dhs + 2e-3, (dh, dhs)
     # freeboard restored (non-negative within roundoff)
     fb = h1 - (si.RHO_ICE * h1 + si.RHO_SNOW * hs1) / si.RHO_OCEAN
     assert fb > -1e-3, fb
