@@ -64,14 +64,17 @@ def run_year(config="onedegree", days=365.0, dt=1200.0, out="output/validate_yea
     last = None
     for attempt in range(n_attempts):
         sim = build()
-        if attempt > 0:
-            try:
-                if pickup(sim, out, prefix="omip_checkpoint"):
-                    print(f"[validate_year] resumed from checkpoint at "
-                          f"iteration {sim.iteration}", flush=True)
-            except Exception as e:
-                print(f"[validate_year] pickup failed ({e}); "
-                      "restarting from t=0", flush=True)
+        # ALWAYS attempt pickup (no-op when the output dir has no
+        # checkpoint): a process killed mid-run — e.g. a wedged TPU
+        # tunnel, which hangs rather than raising — resumes from the
+        # latest 90-day checkpoint on relaunch instead of starting over.
+        try:
+            if pickup(sim, out, prefix="omip_checkpoint"):
+                print(f"[validate_year] resumed from checkpoint at "
+                      f"iteration {sim.iteration}", flush=True)
+        except Exception as e:
+            print(f"[validate_year] pickup failed ({e}); "
+                  "restarting from t=0", flush=True)
         try:
             sim.run()
             for w in sim.output_writers:
