@@ -99,7 +99,14 @@ def _decode_attr(v):
 
 def _open_netcdf3(path):
     from scipy.io import netcdf_file
-    f = netcdf_file(path, "r", mmap=False)
+    # mmap: a slab request touches only the pages it needs. mmap=False
+    # makes scipy materialize the ENTIRE variable per access — a single
+    # 3-hourly slab read from a year-long file then costs the full
+    # ~0.5 GB variable, and a 240-index window build reads ~1 TB
+    # (measured: the file-forced year burned 30+ CPU-minutes before its
+    # first step). The reader copies every slice immediately
+    # (np.array(v[idx])), so no mmap view outlives the file.
+    f = netcdf_file(path, "r", mmap=True)
     variables = {}
     for name, var in f.variables.items():
         attrs = {k: _decode_attr(v) for k, v in var._attributes.items()}
@@ -109,7 +116,19 @@ def _open_netcdf3(path):
                                 dtype=var.data.dtype if hasattr(var, "data") else None)
     dims = dict(f.dimensions)
     attrs = {k: _decode_attr(v) for k, v in f._attributes.items()}
-    return NCFile(path, variables, dims, attrs, closer=f.close)
+
+    def _close():
+        # the reader copies every slice, but the NCVar closures still hold
+        # scipy variable refs at close time, so scipy warns that the mmap
+        # cannot be unmapped yet — it is released when the refs drop (GC);
+        # nothing dangles because no view escapes uncopied
+        import warnings
+        with warnings.catch_warnings():
+            warnings.filterwarnings("ignore",
+                                    message="Cannot close a netcdf_file")
+            f.close()
+
+    return NCFile(path, variables, dims, attrs, closer=_close)
 
 
 def _h5_dims(dset, name):

@@ -170,6 +170,11 @@ def main(argv=None):
     ap.add_argument("--out", default="output/validate_year")
     ap.add_argument("--score-only", action="store_true")
     ap.add_argument("--nz", type=int, default=None)
+    ap.add_argument("--forcing-dir", default=None,
+                    help="JRA55-style NetCDF forcing directory (multi-"
+                         "year file backend + prefetch + land loader); "
+                         "default: the analytic proxy")
+    ap.add_argument("--repeat-year", action="store_true")
     ap.add_argument("--real-forcing", action="store_true",
                     help="assert the NSIDC summer-minimum band (default "
                     "relaxes it: the analytic forcing proxy under-sustains "
@@ -182,6 +187,9 @@ def main(argv=None):
         kw = {}
         if args.nz is not None:
             kw["Nz"] = args.nz
+        if args.forcing_dir is not None:
+            kw["forcing_dir"] = args.forcing_dir
+            kw["repeat_year"] = bool(args.repeat_year)
         sim = run_year(args.config, args.days, args.dt, args.out, **kw)
         grid = sim.model.ocean.grid
     else:
