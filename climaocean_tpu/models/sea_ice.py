@@ -221,6 +221,7 @@ def slab_thermodynamics(model, ice, ocean_state, atmos, dt):
     coef = rho_a * wind * Ch_i      # neutral exchange (Newton slope only)
     solver = model.flux_solver()
     Ts_i = Ts
+    turb_i = q_i = Ts_iK = None
     for _ in range(3):
         Ts_iK = Ts_i + CELSIUS
         q_i = saturation_specific_humidity(Ts_iK, atmos.p, over_ocean=False)
@@ -240,14 +241,18 @@ def slab_thermodynamics(model, ice, ocean_state, atmos, dt):
         Ts_i = jnp.clip(Ts_i + (Q_atm_i + Q_cond_i) / (cond - dQdT),
                         -90.0, 0.0)
     Ts_new = jnp.where(has_ice, Ts_i, jnp.clip(SST, -90.0, 0.0))
-    # net atmospheric flux + final MOST state at the converged Ts (feeds
-    # the melt residual and the stress handed to the ocean)
+    # net atmospheric flux at the converged Ts: the LAST MOST evaluation
+    # (at the penultimate iterate, within ~0.1 K of Ts_new) plus the
+    # neutral-exchange linear correction for the final update — one MOST
+    # call cheaper than re-solving, and the convergence test's
+    # independently-re-evaluated residual bound still holds. The stress
+    # (wind-dominated, Ts-insensitive) rides the same evaluation.
+    turb = turb_i
     Ts_nK = Ts_new + CELSIUS
     q_n = saturation_specific_humidity(Ts_nK, atmos.p, over_ocean=False)
-    turb = solver(atmos, Ts_nK, q_n, ice["u"], ice["v"])
-    Q_lat = turb.Q_latent * (LS / 2.5e6)
+    Q_lat = turb.Q_latent * (LS / 2.5e6) + coef * LS * (q_i - q_n)
     Q_atm = (Q_sw + rad.net_longwave(atmos.Qlw_down, Ts_nK, emissivity=0.985)
-             + turb.Q_sensible + Q_lat)
+             + turb.Q_sensible + coef * CP_AIR * (Ts_iK - Ts_nK) + Q_lat)
 
     # --- surface melt: residual imbalance at Ts = 0 ------------------------
     # SNOW melts first (the reference's default_snow_thermodynamics
