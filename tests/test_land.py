@@ -276,3 +276,82 @@ def test_spread_to_coast_keeps_edge_mass():
     mass_out = float((out * az)[H:H + grid.Ny, H:H + grid.Nx].sum())
     assert mass_out > 0.9 * mass_in, (mass_in, mass_out)
     assert (out[~wet] == 0).all()
+
+
+def test_land_rotation_under_shard_map(tmp_path):
+    """File-backed land windows must rotate (re-partitioned into tiles)
+    under the sharded run path — the `resolve_model` land branch in
+    `parallel.shard` (the restoring-rotation contract applied to the
+    land component)."""
+    import jax
+    import pytest
+    from scipy.io import netcdf_file
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the faked 8-device mesh")
+
+    from climaocean_tpu.coupler.jra55 import JRA55FileAtmosphere
+    from climaocean_tpu.coupler.land import jra55_prescribed_land
+    from climaocean_tpu.coupler.atmosphere import synthetic_prescribed_atmosphere
+    from climaocean_tpu.models.coupled import OceanSeaIceModel
+    from climaocean_tpu.models.hydrostatic import HydrostaticModel
+    from climaocean_tpu.parallel.mesh import make_mesh
+    from climaocean_tpu.parallel.shard import make_sharded_coupled_step_fn
+
+    grid, lon, lat = _grid(nx=32, ny=16, nz=3)
+    nlat, nlon, nt = 36, 72, 30
+    latf = np.linspace(-89.5, 89.5, nlat)
+    lonf = np.linspace(-180.0, 180.0, nlon, endpoint=False)
+
+    def write(name, vals):
+        f = netcdf_file(str(tmp_path / f"{name}_y1958.nc"), "w", version=2)
+        f.createDimension("time", nt)
+        f.createDimension("lat", nlat)
+        f.createDimension("lon", nlon)
+        tv = f.createVariable("time", "f8", ("time",))
+        tv[:] = 24.0 * np.arange(nt)
+        tv.units = b"hours since 1958-01-01"
+        la = f.createVariable("lat", "f8", ("lat",))
+        la[:] = latf
+        la.units = b"degrees_north"
+        lo = f.createVariable("lon", "f8", ("lon",))
+        lo[:] = lonf
+        lo.units = b"degrees_east"
+        v = f.createVariable(name, "f4", ("time", "lat", "lon"))
+        v[:] = vals
+        f.close()
+
+    for name, val in (("tas", 280.0), ("huss", 0.008), ("psl", 101325.0),
+                      ("uas", 5.0), ("vas", 0.0), ("rlds", 340.0),
+                      ("rsds", 180.0), ("prra", 1e-5), ("prsn", 0.0)):
+        write(name, np.full((nt, nlat, nlon), val, np.float32))
+    friver = np.zeros((nt, nlat, nlon), np.float32)
+    friver[:, 20, :] = 8e-5
+    write("friver", friver)
+
+    be = JRA55FileAtmosphere(grid, str(tmp_path), time_indices_in_memory=8)
+    land = jra55_prescribed_land(grid, be, t=0.0, n_window=3)
+    t0_first = float(land.times[-1])
+
+    ocean = HydrostaticModel(grid=grid, closures=(), substeps=6)
+    atmos = synthetic_prescribed_atmosphere(grid, 0.0, 30 * 86400.0)
+    model = OceanSeaIceModel(ocean=ocean, atmosphere=atmos, land=land)
+    state = model.initial_state()
+    H = grid.H
+    state["ocean"]["S"] = jnp.full(grid.padded_shape, 35.0) * grid.wet_c
+    state["ocean"]["T"] = jnp.full(grid.padded_shape, 10.0) * grid.wet_c
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    step, part, unpart = make_sharded_coupled_step_fn(model, mesh,
+                                                      donate=False)
+    s = part(state)
+    # dispatch at t=0 (covered), then far past the initial 3-slab window:
+    # the resolver must rotate the land window and re-partition it
+    s = step(s, 0.0, 3600.0)
+    s = step(s, 10.0 * 86400.0, 3600.0)
+    jax.block_until_ready(s)
+    back = unpart(s)
+    assert np.isfinite(np.asarray(grid.interior(back["ocean"]["S"]))).all()
+    # the loader rotated (bounds advanced past the initial window)
+    assert land.loader.loaded_bounds[0] > 0.0 or \
+        land.loader.loaded_bounds[1] > t0_first, land.loader.loaded_bounds
